@@ -1,0 +1,189 @@
+"""Typed configuration tree.
+
+Mirrors the *semantics* of the reference's global easydict config
+(`upsnet/config/config.py` in uber-research/UPSNet) — same hyperparameter
+names where sensible so the reference's experiment yamls load directly — but
+as typed dataclasses (SURVEY.md §5.6) with a few TPU-specific additions
+(static padded sizes, compute dtype, mesh shape).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Tuple
+
+
+@dataclass
+class NetworkConfig:
+    # Reference: config.network.* (upsnet/config/config.py).
+    backbone: str = "resnet50"  # resnet50 | resnet101
+    pretrained: str = ""  # path to converted ImageNet/caffe weights
+    fpn_feature_dim: int = 256
+    # Deformable conv in backbone stages res3-res5 (the "-DCN" variants).
+    backbone_with_dcn: bool = False
+    dcn_stages: Tuple[int, ...] = (3, 4, 5)
+    # RPN
+    num_anchors: int = 3  # aspect ratios (0.5, 1, 2), one scale per level
+    anchor_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    anchor_scale: float = 8.0  # anchor size = 8 * stride per level
+    rpn_channels: int = 256
+    # RCNN box head
+    rcnn_fc_dim: int = 1024
+    pooled_size_box: int = 7
+    pooled_size_mask: int = 14
+    mask_size: int = 28
+    roi_sampling_ratio: int = 2
+    # Class-specific bbox regression, Detectron weights.
+    bbox_reg_weights: Tuple[float, ...] = (10.0, 10.0, 5.0, 5.0)
+    # Semantic (FCN) head
+    fcn_head_dim: int = 128
+    fcn_num_layers: int = 2  # stacked 3x3 deformable convs per level
+    fcn_with_dcn: bool = True
+    fcn_shared_subnet: bool = True
+    has_fcn_head: bool = True
+    has_rpn: bool = True
+    has_rcnn: bool = True
+    has_mask_head: bool = True
+    has_panoptic_head: bool = True
+    # TPU-specific
+    compute_dtype: str = "bfloat16"  # dtype for conv/matmul compute
+    param_dtype: str = "float32"
+    # Backbone stages with frozen params (reference freezes conv1 + res2).
+    frozen_stages: Tuple[int, ...] = (1, 2)
+
+
+@dataclass
+class DatasetConfig:
+    # Reference: config.dataset.*
+    dataset: str = "coco"  # coco | cityscapes
+    dataset_path: str = "data/coco"
+    image_set: str = "train2017"
+    test_image_set: str = "val2017"
+    num_classes: int = 81  # things + background (COCO: 80 + 1)
+    num_seg_classes: int = 133  # stuff + things (COCO panoptic: 53 + 80)
+    num_stuff: int = 53  # leading channels of the semantic logits are stuff
+
+
+@dataclass
+class TrainConfig:
+    # Reference: config.train.*
+    scales: Tuple[int, ...] = (800,)
+    max_size: int = 1333
+    flip: bool = True
+    batch_size: int = 1  # images per device
+    # RPN proposal generation (train)
+    rpn_pre_nms_top_n: int = 2000  # per level
+    rpn_post_nms_top_n: int = 1000
+    rpn_nms_thresh: float = 0.7
+    rpn_min_size: float = 0.0
+    # RPN target assignment
+    rpn_batch_size: int = 256  # anchors sampled per image
+    rpn_fg_fraction: float = 0.5
+    rpn_positive_overlap: float = 0.7
+    rpn_negative_overlap: float = 0.3
+    # RoI sampling (ProposalMaskTarget)
+    batch_rois: int = 512
+    fg_fraction: float = 0.25
+    fg_thresh: float = 0.5
+    bg_thresh_hi: float = 0.5
+    bg_thresh_lo: float = 0.0
+    # Losses
+    fcn_loss_weight: float = 0.2
+    panoptic_loss_weight: float = 0.1
+    fcn_with_roi_loss: bool = True
+    fcn_roi_loss_weight: float = 1.0  # multiplier applied inside fcn loss
+    panoptic_box_keep_fraction: float = 0.7  # 30% GT -> unknown augmentation
+    # Optimizer / schedule
+    lr: float = 0.02
+    momentum: float = 0.9
+    wd: float = 1e-4
+    warmup_iteration: int = 500
+    warmup_factor: float = 1.0 / 3.0
+    max_iteration: int = 90000
+    decay_iteration: Tuple[int, ...] = (60000, 80000)
+    decay_factor: float = 0.1
+    snapshot_step: int = 5000
+    display_iter: int = 20
+    resume: bool = False
+    begin_iteration: int = 0
+    # TPU-specific static shapes
+    # Images are bucketed/padded to these (H, W) shapes (multiples of 64).
+    image_buckets: Tuple[Tuple[int, int], ...] = ((832, 1344), (1344, 832))
+    max_gt_instances: int = 100
+
+
+@dataclass
+class TestConfig:
+    # Reference: config.test.*
+    scales: Tuple[int, ...] = (800,)
+    max_size: int = 1333
+    batch_size: int = 1
+    rpn_pre_nms_top_n: int = 1000  # per level
+    rpn_post_nms_top_n: int = 1000
+    rpn_nms_thresh: float = 0.7
+    nms_thresh: float = 0.5  # per-class detection NMS
+    score_thresh: float = 0.05
+    max_det: int = 100
+    # Panoptic fusion (SURVEY.md §3.4)
+    panoptic_score_thresh: float = 0.6
+    panoptic_mask_overlap_thresh: float = 0.5  # MaskRemoval keep fraction
+    panoptic_stuff_area_limit: int = 4096
+    image_buckets: Tuple[Tuple[int, int], ...] = ((832, 1344), (1344, 832))
+    # Multi-scale / flip test-time augmentation
+    multi_scale: Tuple[int, ...] = ()
+    flip_test: bool = False
+
+
+@dataclass
+class Config:
+    symbol: str = "resnet_50_upsnet"  # model registry key
+    output_path: str = "output"
+    num_devices: int = 0  # 0 = all local devices
+    seed: int = 3407
+    network: NetworkConfig = field(default_factory=NetworkConfig)
+    dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    test: TestConfig = field(default_factory=TestConfig)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+def default_config() -> Config:
+    return Config()
+
+
+def _coerce(value: Any, target: Any) -> Any:
+    """Coerce a yaml value to the type of the dataclass default."""
+    if isinstance(target, bool):
+        return bool(value)
+    if isinstance(target, int) and not isinstance(value, bool):
+        return int(value)
+    if isinstance(target, float):
+        return float(value)
+    if isinstance(target, tuple):
+        if isinstance(value, (list, tuple)):
+            return tuple(
+                tuple(v) if isinstance(v, (list, tuple)) else v for v in value
+            )
+        return (value,)
+    return value
+
+
+def merge_into_dataclass(dc: Any, overrides: dict) -> Any:
+    """Deep-merge a plain dict of overrides into a dataclass tree."""
+    updates = {}
+    names = {f.name: f for f in dataclasses.fields(dc)}
+    for key, value in overrides.items():
+        if key not in names:
+            continue  # ignore unknown keys (reference yamls carry extras)
+        cur = getattr(dc, key)
+        if dataclasses.is_dataclass(cur) and isinstance(value, dict):
+            updates[key] = merge_into_dataclass(cur, value)
+        else:
+            updates[key] = _coerce(value, cur)
+    return dataclasses.replace(dc, **updates)
