@@ -1,0 +1,249 @@
+"""ROIAlign over single feature maps and the fused FPN pyramid.
+
+Replaces the reference's CUDA ROIAlign (uber-research/UPSNet
+``upsnet/operators/src/roialign/``, wrapped by
+``upsnet/operators/modules/roialign.py``) with an XLA gather formulation.
+
+Semantics match the Detectron-lineage kernel the reference ships
+(pre-``aligned=True`` convention — no half-pixel shift; SURVEY.md §7.3 hard
+part #2): each P x P output bin averages ``sampling_ratio**2`` bilinear
+samples placed at uniform sub-bin centers; samples outside
+``[-1, H] x [-1, W]`` contribute zero; coordinates clamp to ``[0, size-1]``.
+
+TPU design notes:
+  * Static shapes: RoI count is padded; invalid RoIs produce garbage bins
+    that callers mask out (never NaN: coords are clamped).
+  * ``fpn_roi_align`` flattens all pyramid levels into ONE (sum HW, C)
+    buffer and computes per-RoI flat indices using its assigned level's
+    (stride, height, width, row-offset) — a single gather does the work the
+    reference does with four per-level kernel launches + scatter-back.
+  * RoIs are processed in chunks via ``lax.map`` to bound the transient
+    gather footprint (4 corners x P^2 x S^2 rows per RoI).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from upsnet_tpu.ops.anchors import FPN_STRIDES
+
+
+def _bilinear_corners(y, x, height, width):
+    """Corner indices + weights with Detectron clamping.
+
+    y, x: sample coords, any broadcastable shape. height/width may be arrays
+    (per-sample, for the fused multi-level path) or scalars.
+    Returns (y_low, x_low, y_high, x_high, w_ll, w_lh, w_hl, w_hh, inside).
+    """
+    inside = (y >= -1.0) & (y <= height) & (x >= -1.0) & (x <= width)
+    y = jnp.clip(y, 0.0, None)
+    x = jnp.clip(x, 0.0, None)
+    y_low = jnp.floor(y)
+    x_low = jnp.floor(x)
+    # If y_low >= height - 1: snap to the last row (y becomes integral).
+    y_snap = y_low >= height - 1
+    x_snap = x_low >= width - 1
+    y_low = jnp.where(y_snap, height - 1, y_low)
+    x_low = jnp.where(x_snap, width - 1, x_low)
+    y = jnp.where(y_snap, y_low, y)
+    x = jnp.where(x_snap, x_low, x)
+    y_high = jnp.where(y_snap, y_low, y_low + 1)
+    x_high = jnp.where(x_snap, x_low, x_low + 1)
+    ly = y - y_low
+    lx = x - x_low
+    hy = 1.0 - ly
+    hx = 1.0 - lx
+    zero = jnp.zeros_like(ly)
+    w_ll = jnp.where(inside, hy * hx, zero)
+    w_lh = jnp.where(inside, hy * lx, zero)
+    w_hl = jnp.where(inside, ly * hx, zero)
+    w_hh = jnp.where(inside, ly * lx, zero)
+    return (
+        y_low.astype(jnp.int32),
+        x_low.astype(jnp.int32),
+        y_high.astype(jnp.int32),
+        x_high.astype(jnp.int32),
+        w_ll,
+        w_lh,
+        w_hl,
+        w_hh,
+    )
+
+
+def _sample_coords(rois, spatial_scale, pooled: int, sampling_ratio: int):
+    """Sample-point coordinates (N, P, P, S, S) in feature-map space."""
+    s = sampling_ratio
+    roi_x1 = rois[:, 0] * spatial_scale
+    roi_y1 = rois[:, 1] * spatial_scale
+    roi_x2 = rois[:, 2] * spatial_scale
+    roi_y2 = rois[:, 3] * spatial_scale
+    roi_w = jnp.maximum(roi_x2 - roi_x1, 1.0)
+    roi_h = jnp.maximum(roi_y2 - roi_y1, 1.0)
+    bin_w = roi_w / pooled
+    bin_h = roi_h / pooled
+    ph = jnp.arange(pooled, dtype=rois.dtype)
+    iy = (jnp.arange(s, dtype=rois.dtype) + 0.5) / s
+    # y = y1 + (ph + (iy + .5)/S) * bin_h
+    ys = (
+        roi_y1[:, None, None]
+        + (ph[None, :, None] + iy[None, None, :]) * bin_h[:, None, None]
+    )  # (N, P, S)
+    xs = (
+        roi_x1[:, None, None]
+        + (ph[None, :, None] + iy[None, None, :]) * bin_w[:, None, None]
+    )
+    y = ys[:, :, None, :, None]  # (N, P, 1, S, 1)
+    x = xs[:, None, :, None, :]  # (N, 1, P, 1, S)
+    y = jnp.broadcast_to(y, (rois.shape[0], pooled, pooled, s, s))
+    x = jnp.broadcast_to(x, (rois.shape[0], pooled, pooled, s, s))
+    return y, x
+
+
+def _gather_average(flat_feats, flat_idx4, weights4, pooled, sampling_ratio):
+    """Gather 4 corners and average over the sample grid.
+
+    flat_idx4 / weights4: (4, N, P, P, S, S). Returns (N, P, P, C).
+    """
+    n = flat_idx4.shape[1]
+    c = flat_feats.shape[-1]
+    out = jnp.zeros((n, pooled, pooled, c), dtype=flat_feats.dtype)
+    for k in range(4):
+        rows = flat_feats[flat_idx4[k].reshape(-1)]
+        rows = rows.reshape(n, pooled, pooled, sampling_ratio, sampling_ratio, c)
+        out = out + jnp.sum(
+            rows * weights4[k][..., None].astype(flat_feats.dtype), axis=(3, 4)
+        )
+    return out / float(sampling_ratio * sampling_ratio)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pooled", "sampling_ratio", "spatial_scale", "chunk")
+)
+def roi_align(
+    features: jnp.ndarray,
+    rois: jnp.ndarray,
+    pooled: int = 7,
+    spatial_scale: float = 0.25,
+    sampling_ratio: int = 2,
+    chunk: int = 64,
+) -> jnp.ndarray:
+    """Single-level ROIAlign. features (H, W, C), rois (N, 4) image coords.
+
+    Returns (N, pooled, pooled, C).
+    """
+    h, w, c = features.shape
+    flat = features.reshape(h * w, c)
+
+    def one_chunk(rois_chunk):
+        y, x = _sample_coords(rois_chunk, spatial_scale, pooled, sampling_ratio)
+        yl, xl, yh, xh, wll, wlh, whl, whh = _bilinear_corners(y, x, float(h), float(w))
+        idx4 = jnp.stack(
+            [yl * w + xl, yl * w + xh, yh * w + xl, yh * w + xh], axis=0
+        )
+        w4 = jnp.stack([wll, wlh, whl, whh], axis=0)
+        return _gather_average(flat, idx4, w4, pooled, sampling_ratio)
+
+    n = rois.shape[0]
+    if n <= chunk:
+        return one_chunk(rois)
+    pad = (-n) % chunk
+    rois_p = jnp.pad(rois, ((0, pad), (0, 0)))
+    out = jax.lax.map(one_chunk, rois_p.reshape(-1, chunk, 4))
+    return out.reshape(-1, pooled, pooled, c)[:n]
+
+
+def _pyramid_meta(shapes, strides):
+    """Static per-level (offset, H, W, scale) tables for the fused gather."""
+    offsets, hs, ws, scales = [], [], [], []
+    off = 0
+    for (h, w, _), s in zip(shapes, strides):
+        offsets.append(off)
+        hs.append(h)
+        ws.append(w)
+        scales.append(1.0 / s)
+        off += h * w
+    return (
+        np.array(offsets, np.int32),
+        np.array(hs, np.float32),
+        np.array(ws, np.float32),
+        np.array(scales, np.float32),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pooled", "sampling_ratio", "strides", "chunk")
+)
+def fpn_roi_align(
+    features: tuple[jnp.ndarray, ...],
+    rois: jnp.ndarray,
+    levels: jnp.ndarray,
+    pooled: int = 7,
+    sampling_ratio: int = 2,
+    strides: tuple[int, ...] = FPN_STRIDES[:4],
+    chunk: int = 64,
+) -> jnp.ndarray:
+    """Fused multi-level ROIAlign over the FPN pyramid (P2..P5).
+
+    The reference's ``FPNRoIAlign`` launches one CUDA ROIAlign per level and
+    scatters results back by RoI (SURVEY.md §2.2). Here all levels live in
+    one flattened (sum HW, C) buffer; each RoI's gather indices are computed
+    against its own level's geometry, so one gather serves every level.
+
+    Args:
+      features: per-level (H_l, W_l, C) maps, same C.
+      rois: (N, 4) boxes in image coordinates.
+      levels: (N,) int32 in [0, len(features)) — FPN level per RoI
+        (k - k_min from ``fpn_level_assignment``).
+    Returns:
+      (N, pooled, pooled, C).
+    """
+    shapes = tuple(f.shape for f in features)
+    off_t, h_t, w_t, sc_t = _pyramid_meta(shapes, strides)
+    c = shapes[0][2]
+    flat = jnp.concatenate([f.reshape(-1, c) for f in features], axis=0)
+    off_t = jnp.asarray(off_t)
+    h_t, w_t, sc_t = jnp.asarray(h_t), jnp.asarray(w_t), jnp.asarray(sc_t)
+
+    def one_chunk(args):
+        rois_chunk, lev = args
+        scale = sc_t[lev]  # (chunk,)
+        lh = h_t[lev]
+        lw = w_t[lev]
+        loff = off_t[lev]
+        # Per-RoI scale: scale roi coords by its level's spatial scale.
+        y, x = _sample_coords(
+            rois_chunk * scale[:, None], 1.0, pooled, sampling_ratio
+        )
+        ext = (slice(None),) + (None,) * 4
+        yl, xl, yh, xh, wll, wlh, whl, whh = _bilinear_corners(
+            y, x, lh[ext], lw[ext]
+        )
+        lwi = lw.astype(jnp.int32)[ext]
+        base = loff[ext]
+        idx4 = jnp.stack(
+            [
+                base + yl * lwi + xl,
+                base + yl * lwi + xh,
+                base + yh * lwi + xl,
+                base + yh * lwi + xh,
+            ],
+            axis=0,
+        )
+        w4 = jnp.stack([wll, wlh, whl, whh], axis=0)
+        return _gather_average(flat, idx4, w4, pooled, sampling_ratio)
+
+    n = rois.shape[0]
+    levels = levels.astype(jnp.int32)
+    if n <= chunk:
+        return one_chunk((rois, levels))
+    pad = (-n) % chunk
+    rois_p = jnp.pad(rois, ((0, pad), (0, 0)))
+    lev_p = jnp.pad(levels, (0, pad))
+    out = jax.lax.map(
+        one_chunk, (rois_p.reshape(-1, chunk, 4), lev_p.reshape(-1, chunk))
+    )
+    return out.reshape(-1, pooled, pooled, c)[:n]
