@@ -84,7 +84,11 @@ def test_deform_conv_gradients_finite(rng):
 def test_deform_conv_offset_gradient_numeric(rng):
     """Finite-difference check of the offset gradient (the hard backward)."""
     x = jnp.asarray(rng.randn(5, 5, 2).astype(np.float32))
-    offsets = jnp.asarray((rng.randn(5, 5, 18) * 0.3).astype(np.float32))
+    # keep fractional parts well inside (0, 1): bilinear grad has kinks at
+    # integer crossings where finite differences are invalid
+    offsets = jnp.asarray(
+        (0.3 + 0.4 * rng.uniform(size=(5, 5, 18))).astype(np.float32)
+    )
     weight = jnp.asarray(rng.randn(9, 2, 3).astype(np.float32) * 0.2)
 
     def loss(o):
