@@ -82,22 +82,26 @@ def test_deform_conv_gradients_finite(rng):
 
 
 def test_deform_conv_offset_gradient_numeric(rng):
-    """Finite-difference check of the offset gradient (the hard backward)."""
-    x = jnp.asarray(rng.randn(5, 5, 2).astype(np.float32))
-    # keep fractional parts well inside (0, 1): bilinear grad has kinks at
-    # integer crossings where finite differences are invalid
-    offsets = jnp.asarray(
-        (0.3 + 0.4 * rng.uniform(size=(5, 5, 18))).astype(np.float32)
-    )
-    weight = jnp.asarray(rng.randn(9, 2, 3).astype(np.float32) * 0.2)
+    """Finite-difference check of the offset gradient (the hard backward).
 
-    def loss(o):
-        return jnp.sum(jnp.sin(deform_conv2d(x, o, weight)))
+    Runs in float64 (fp32 FD noise swamps the signal) and keeps offset
+    fractional parts inside (0, 1) — bilinear grad has kinks at integer
+    crossings where finite differences are invalid.
+    """
+    with jax.experimental.enable_x64():
+        x = jnp.asarray(rng.randn(5, 5, 2))
+        offsets = jnp.asarray(0.3 + 0.4 * rng.uniform(size=(5, 5, 18)))
+        weight = jnp.asarray(rng.randn(9, 2, 3) * 0.2)
 
-    g = jax.grad(loss)(offsets)
-    eps = 1e-3
-    for (i, j, c) in [(1, 1, 0), (2, 3, 5), (4, 4, 17)]:
-        op = offsets.at[i, j, c].add(eps)
-        om = offsets.at[i, j, c].add(-eps)
-        fd = (loss(op) - loss(om)) / (2 * eps)
-        np.testing.assert_allclose(np.asarray(g[i, j, c]), np.asarray(fd), atol=2e-2)
+        def loss(o):
+            return jnp.sum(jnp.sin(deform_conv2d(x, o, weight)))
+
+        g = jax.grad(loss)(offsets)
+        eps = 1e-5
+        for (i, j, c) in [(1, 1, 0), (2, 3, 5), (4, 4, 17), (0, 0, 1)]:
+            op = offsets.at[i, j, c].add(eps)
+            om = offsets.at[i, j, c].add(-eps)
+            fd = (loss(op) - loss(om)) / (2 * eps)
+            np.testing.assert_allclose(
+                np.asarray(g[i, j, c]), np.asarray(fd), atol=1e-5
+            )
