@@ -88,7 +88,7 @@ def test_deform_conv_offset_gradient_numeric(rng):
     fractional parts inside (0, 1) — bilinear grad has kinks at integer
     crossings where finite differences are invalid.
     """
-    with jax.experimental.enable_x64():
+    with jax.enable_x64(True):
         x = jnp.asarray(rng.randn(5, 5, 2))
         offsets = jnp.asarray(0.3 + 0.4 * rng.uniform(size=(5, 5, 18)))
         weight = jnp.asarray(rng.randn(9, 2, 3) * 0.2)
