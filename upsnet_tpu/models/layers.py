@@ -1,0 +1,96 @@
+"""Shared building blocks: frozen BN, deformable conv module, inits."""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from upsnet_tpu.ops.deform_conv import deform_conv2d
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with statistics folded into affine constants.
+
+    The reference backbone keeps BN frozen (affine constants computed from
+    the pretrained running stats, never updated — SURVEY.md §2.3). The
+    converter stores scale = gamma / sqrt(var + eps), bias = beta - mean *
+    scale. stop_gradient keeps them constant regardless of optimizer wiring.
+    """
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        scale = jax.lax.stop_gradient(scale).astype(self.dtype)
+        bias = jax.lax.stop_gradient(bias).astype(self.dtype)
+        return x.astype(self.dtype) * scale + bias
+
+
+class DeformConv(nn.Module):
+    """Deformable 3x3 conv: a plain conv (zero-initialized, reference
+    behavior) predicts the offset field; the deformable kernel consumes it.
+
+    Reference: ``upsnet/operators/modules/deform_conv.py`` + the sibling
+    offset conv in the head definitions (SURVEY.md §2.2).
+    """
+
+    features: int
+    kernel_size: int = 3
+    dilation: int = 1
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # x: (B, H, W, C)
+        k = self.kernel_size
+        offsets = nn.Conv(
+            2 * k * k,
+            (k, k),
+            kernel_dilation=(self.dilation, self.dilation),
+            padding="SAME",
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=jnp.float32,  # offsets stay fp32: sub-pixel positions
+            param_dtype=jnp.float32,
+            name="offset_conv",
+        )(x.astype(jnp.float32))
+        cin = x.shape[-1]
+        weight = self.param(
+            "kernel",
+            nn.initializers.he_normal(),
+            (k * k, cin, self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        w = weight.astype(self.dtype)
+        b = bias.astype(self.dtype) if bias is not None else None
+        fn = lambda xi, oi: deform_conv2d(
+            xi.astype(self.dtype), oi, w, b, kernel_size=k, dilation=self.dilation
+        )
+        return jax.vmap(fn)(x, offsets)
+
+
+def conv(features, kernel, stride=1, use_bias=False, dtype=jnp.float32, name=None,
+         kernel_init=None):
+    """Plain conv helper with caffe-compatible SAME padding for odd kernels."""
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        strides=(stride, stride),
+        padding=[(kernel // 2, kernel // 2)] * 2,
+        use_bias=use_bias,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        kernel_init=kernel_init or nn.initializers.he_normal(),
+        name=name,
+    )
