@@ -1,0 +1,146 @@
+"""Dataset abstraction.
+
+Reference: ``upsnet/dataset/base_dataset.py`` (SURVEY.md §2.4) — a
+Detectron-style roidb plus ``evaluate_*`` methods. Here: a ``BaseDataset``
+producing static-shape numpy samples (see ``sample`` contract below) and the
+same four evaluation entry points, backed by the framework's own evaluators
+(evaluation/).
+
+Sample contract (train):
+  image     (BH, BW, 3) float32 — normalized BGR in a static bucket
+  im_hw     (2,) float32 — actual (resized) content extent in the canvas
+  scale     () float32 — resize factor from the original image
+  gt_boxes  (G, 4) float32, gt_classes (G,) int32 (1-based), gt_valid (G,)
+  gt_masks  (G, BH/4, BW/4) uint8 — instance masks at 1/4 canvas scale
+  seg_gt    (BH/4, BW/4) int32 — semantic labels, stuff first, 255 ignore
+Test adds: image_id, orig_hw.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from upsnet_tpu.data import transforms as T
+
+
+class BaseDataset:
+    """Subclasses implement __len__, record(i) -> dict with keys:
+    file (path or loader), height, width, image_id, and a gt(i) -> dict with
+    boxes (N, 4) xyxy, classes (N,), masks-at-full-res provider, seg labels.
+    """
+
+    def __init__(self, cfg, training: bool):
+        self.cfg = cfg
+        self.training = training
+        tc = cfg.train if training else cfg.test
+        self.scales = tuple(tc.scales)
+        self.max_size = tc.max_size
+        self.buckets = tuple(tuple(b) for b in tc.image_buckets)
+        self.max_gt = cfg.train.max_gt_instances
+
+    # ---- subclass API ----
+    def __len__(self):
+        raise NotImplementedError
+
+    def load_image(self, i: int) -> np.ndarray:
+        """(H, W, 3) uint8 BGR."""
+        raise NotImplementedError
+
+    def load_gt(self, i: int) -> dict:
+        """boxes (N,4) xyxy float, classes (N,) int 1-based, masks (N,H,W)
+        uint8, seg (H, W) int32 with 255 ignore."""
+        raise NotImplementedError
+
+    def image_id(self, i: int):
+        return i
+
+    # ---- sample construction ----
+    def sample(self, i: int, rng: np.random.RandomState | None = None) -> dict:
+        rng = rng or np.random
+        img = self.load_image(i).astype(np.float32)
+        h, w = img.shape[:2]
+        target = self.scales[rng.randint(len(self.scales))] if self.training else self.scales[0]
+        scale = T.compute_resize_scale(h, w, target, self.max_size)
+        img = T.resize_image(img, scale)
+        rh, rw = img.shape[:2]
+        img = T.normalize_bgr(img)
+
+        gt = self.load_gt(i) if self.training else None
+        flipped = False
+        if self.training and self.cfg.train.flip and rng.rand() < 0.5:
+            img = T.flip_image(img).copy()
+            flipped = True
+
+        bucket = T.pick_bucket(rh, rw, self.buckets)
+        canvas = T.pad_to_bucket(img, bucket)
+        out = {
+            "images": canvas,
+            "im_hw": np.array([rh, rw], np.float32),
+            "scale": np.float32(scale),
+            "image_id": np.int64(self.image_id(i)),
+            "orig_hw": np.array([h, w], np.int64),
+        }
+        if not self.training:
+            return out
+
+        g = self.max_gt
+        qh, qw = bucket[0] // 4, bucket[1] // 4
+        gt_boxes = np.zeros((g, 4), np.float32)
+        gt_classes = np.zeros((g,), np.int32)
+        gt_valid = np.zeros((g,), bool)
+        gt_masks = np.zeros((g, qh, qw), np.uint8)
+        seg_full = gt["seg"]
+
+        import cv2
+
+        # resize GT to the resized image, then flip, then quarter-scale
+        seg_r = cv2.resize(
+            seg_full.astype(np.int32), (rw, rh), interpolation=cv2.INTER_NEAREST
+        )
+        if flipped:
+            seg_r = seg_r[:, ::-1]
+        seg_q = np.full((qh, qw), 255, np.int32)
+        sq = T.downsample_label(seg_r, 4)
+        seg_q[: sq.shape[0], : sq.shape[1]] = sq
+
+        boxes = gt["boxes"] * scale
+        if flipped:
+            boxes = T.flip_boxes_np(boxes, rw)
+        n = min(len(boxes), g)
+        order = np.argsort(
+            -(boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+        )[:n] if len(boxes) > g else np.arange(n)
+        for slot, j in enumerate(order):
+            gt_boxes[slot] = np.clip(
+                boxes[j], [0, 0, 0, 0], [rw - 1, rh - 1, rw - 1, rh - 1]
+            )
+            gt_classes[slot] = gt["classes"][j]
+            gt_valid[slot] = True
+            m = gt["masks"][j]
+            mr = cv2.resize(m, (rw, rh), interpolation=cv2.INTER_NEAREST)
+            if flipped:
+                mr = mr[:, ::-1]
+            mq = T.downsample_label(mr, 4)
+            gt_masks[slot, : mq.shape[0], : mq.shape[1]] = mq
+
+        out.update(
+            gt_boxes=gt_boxes,
+            gt_classes=gt_classes,
+            gt_valid=gt_valid,
+            gt_masks=gt_masks,
+            seg_gt=seg_q,
+        )
+        return out
+
+    # ---- evaluation entry points (reference API, SURVEY.md §2.4) ----
+    def evaluate_boxes(self, detections):  # pragma: no cover - thin wrapper
+        raise NotImplementedError
+
+    def evaluate_masks(self, detections):
+        raise NotImplementedError
+
+    def evaluate_ssegs(self, seg_preds):
+        raise NotImplementedError
+
+    def evaluate_panoptic(self, pan_results):
+        raise NotImplementedError
