@@ -24,7 +24,7 @@ def tiny_cfg():
     cfg = cfg.replace(
         network=dataclasses.replace(
             cfg.network,
-            backbone="resnet50",
+            backbone="resnet_test",  # 1 block/stage: compile time on CPU
             fpn_feature_dim=32,
             rcnn_fc_dim=64,
             fcn_head_dim=16,
@@ -92,6 +92,7 @@ def make_batch(rng, bsz=2):
     }
 
 
+@pytest.mark.slow
 def test_forward_train_losses(tiny_cfg, tiny_model_and_params, rng):
     model, params = tiny_model_and_params
     anchors = tuple(jnp.asarray(a) for a in pyramid_anchors((H, W)))
@@ -109,6 +110,7 @@ def test_forward_train_losses(tiny_cfg, tiny_model_and_params, rng):
     # runs always load converted pretrained stats. Finiteness is the test.
 
 
+@pytest.mark.slow
 def test_forward_train_grads(tiny_cfg, tiny_model_and_params, rng):
     model, params = tiny_model_and_params
     anchors = tuple(jnp.asarray(a) for a in pyramid_anchors((H, W)))
@@ -129,6 +131,7 @@ def test_forward_train_grads(tiny_cfg, tiny_model_and_params, rng):
     assert float(jax.tree.reduce(lambda a, b: a + jnp.abs(b).sum(), g_fcn, 0.0)) > 0
 
 
+@pytest.mark.slow
 def test_forward_predict_outputs(tiny_cfg, tiny_model_and_params, rng):
     model, params = tiny_model_and_params
     anchors = tuple(jnp.asarray(a) for a in pyramid_anchors((H, W)))

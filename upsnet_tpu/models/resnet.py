@@ -25,7 +25,13 @@ from flax import linen as nn
 
 from upsnet_tpu.models.layers import DeformConv, FrozenBatchNorm, conv
 
-STAGE_BLOCKS = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3)}
+STAGE_BLOCKS = {
+    "resnet50": (3, 4, 6, 3),
+    "resnet101": (3, 4, 23, 3),
+    # 1-block-per-stage micro backbone: same strides/interfaces, used by
+    # tests and CI-style smoke runs where compile time matters
+    "resnet_test": (1, 1, 1, 1),
+}
 
 
 class Bottleneck(nn.Module):
