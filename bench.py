@@ -1,0 +1,88 @@
+"""Benchmark harness: end-to-end inference throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+
+Baseline: the reference's only published speed figure is ~0.2 s/image
+(~5 images/sec) on a single 1080Ti/V100-class GPU at the 800px COCO scale
+(UPSNet paper runtime table; BASELINE.md [L]). The BASELINE.json target is
+>= 3x reference V100 images/sec at batch 8 => vs_baseline >= 3.0 against
+the 5 img/s estimate.
+
+Measures the FULL inference path on the flagship UPSNet-50 COCO config:
+backbone + FPN + RPN + proposal NMS + box/mask heads + semantic head +
+on-device panoptic fusion, batch 8, 832x1344 canvas, bfloat16 compute.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+BASELINE_IMAGES_PER_SEC = 5.0  # reference paper ~0.2 s/image, single GPU
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from upsnet_tpu.config import default_config
+    from upsnet_tpu.models.upsnet import build_model, forward_predict
+    from upsnet_tpu.ops.anchors import pyramid_anchors
+
+    cfg = default_config()
+    batch_size = 8
+    bucket = cfg.test.image_buckets[0]  # (832, 1344): the 800x1333 COCO scale
+    model = build_model(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1,) + tuple(bucket) + (3,), jnp.float32)
+    )["params"]
+    anchors = tuple(
+        jnp.asarray(a)
+        for a in pyramid_anchors(tuple(bucket), scale=cfg.network.anchor_scale,
+                                 ratios=cfg.network.anchor_ratios)
+    )
+
+    @jax.jit
+    def predict(params, images, im_hw):
+        return forward_predict(
+            model, params, cfg, anchors, {"images": images, "im_hw": im_hw}
+        )
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(
+        rng.randn(batch_size, *bucket, 3).astype(np.float32) * 30.0
+    )
+    im_hw = jnp.asarray(
+        np.tile(np.array([[800.0, 1333.0]], np.float32), (batch_size, 1))
+    )
+
+    # warmup / compile
+    out = predict(params, images, im_hw)
+    jax.block_until_ready(out)
+    out = predict(params, images, im_hw)
+    jax.block_until_ready(out)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = predict(params, images, im_hw)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    ips = batch_size * iters / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "upsnet50_coco_inference_images_per_sec_batch8_800px",
+                "value": round(ips, 3),
+                "unit": "images/sec",
+                "vs_baseline": round(ips / BASELINE_IMAGES_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

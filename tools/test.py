@@ -1,0 +1,57 @@
+"""Inference + evaluation CLI.
+
+Reference: ``python upsnet/upsnet_end2end_test.py --cfg <yaml>``
+(SURVEY.md §3.2): run the eval branch over the test split, then
+evaluate_boxes / evaluate_masks / evaluate_ssegs / evaluate_panoptic.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cfg", required=True)
+    ap.add_argument("--weights", default=None, help="orbax checkpoint path")
+    ap.add_argument("--dataset-override", default=None)
+    ap.add_argument("--max-images", type=int, default=None)
+    args = ap.parse_args()
+
+    from upsnet_tpu.config import load_config
+    from upsnet_tpu.evaluation.inference import run_evaluation
+    from upsnet_tpu.utils.logging import create_logger
+
+    cfg = load_config(args.cfg)
+    out_dir = os.path.join(cfg.output_path, cfg.symbol)
+    os.makedirs(out_dir, exist_ok=True)
+    logger = create_logger(out_dir, cfg.symbol, "test")
+
+    name = args.dataset_override or cfg.dataset.dataset
+    if name == "coco":
+        from upsnet_tpu.data.coco import COCOPanoptic
+
+        dataset = COCOPanoptic(cfg, training=False)
+    elif name == "cityscapes":
+        from upsnet_tpu.data.cityscapes import Cityscapes
+
+        dataset = Cityscapes(cfg, training=False)
+    else:
+        from upsnet_tpu.data.synthetic import SyntheticDataset
+
+        dataset = SyntheticDataset(cfg, num_images=8, training=False)
+
+    results = run_evaluation(
+        cfg, dataset, weights=args.weights, logger=logger,
+        max_images=args.max_images,
+    )
+    for k, v in results.items():
+        logger.info("%s: %s", k, v)
+
+
+if __name__ == "__main__":
+    main()

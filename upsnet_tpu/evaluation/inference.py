@@ -1,0 +1,172 @@
+"""End-to-end evaluation loop (the reference's test entry, SURVEY.md §3.2).
+
+Runs the jitted predict step over a dataset, maps padded device outputs back
+to original-image coordinates on the host, and feeds the four evaluators:
+boxes (AP), masks (AP), semantic (mIoU), panoptic (PQ).
+
+Host work is limited to: coordinate unscaling, final-resolution mask paste +
+RLE encode, nearest-resize of the 1/4-scale semantic/panoptic maps, and
+panoptic segment bookkeeping — matching the north-star's "no mask tensors
+round-trip until PNG encode".
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from upsnet_tpu.config.defaults import Config
+from upsnet_tpu.evaluation import rle as rle_mod
+from upsnet_tpu.evaluation.panoptic_format import build_panoptic_output
+from upsnet_tpu.models.registry import get_model
+from upsnet_tpu.ops.anchors import pyramid_anchors
+
+
+def paste_mask_full(mask_prob: np.ndarray, box: np.ndarray, hw) -> np.ndarray:
+    """Host-side Detectron-style paste: resize M x M probs to the box size,
+    threshold at 0.5 into a full-resolution canvas."""
+    import cv2
+
+    h, w = hw
+    x1, y1, x2, y2 = box
+    x1i, y1i = int(np.floor(x1)), int(np.floor(y1))
+    x2i, y2i = int(np.ceil(x2)), int(np.ceil(y2))
+    bw = max(x2i - x1i + 1, 1)
+    bh = max(y2i - y1i + 1, 1)
+    m = cv2.resize(mask_prob, (bw, bh), interpolation=cv2.INTER_LINEAR)
+    out = np.zeros((h, w), np.uint8)
+    xs0, ys0 = max(x1i, 0), max(y1i, 0)
+    xs1, ys1 = min(x2i + 1, w), min(y2i + 1, h)
+    if xs1 > xs0 and ys1 > ys0:
+        out[ys0:ys1, xs0:xs1] = (
+            m[ys0 - y1i : ys1 - y1i, xs0 - x1i : xs1 - x1i] >= 0.5
+        ).astype(np.uint8)
+    return out
+
+
+def postprocess_image(cfg: Config, dataset, out_i: dict, meta: dict):
+    """Device outputs for one image -> detection / seg / panoptic results in
+    original-image coordinates."""
+    import cv2
+
+    scale = float(meta["scale"])
+    oh, ow = (int(x) for x in meta["orig_hw"])
+    rh, rw = (int(x) for x in meta["im_hw"])
+    image_id = meta["image_id"]
+
+    valid = np.asarray(out_i["det_valid"])
+    boxes = np.asarray(out_i["boxes"])[valid] / scale
+    boxes[:, 0::2] = boxes[:, 0::2].clip(0, ow - 1)
+    boxes[:, 1::2] = boxes[:, 1::2].clip(0, oh - 1)
+    scores = np.asarray(out_i["scores"])[valid]
+    classes = np.asarray(out_i["classes"])[valid]
+    mask_probs = 1.0 / (1.0 + np.exp(-np.asarray(out_i["mask_logits"])[valid]))
+
+    detections = []
+    for b, s, c, m in zip(boxes, scores, classes, mask_probs):
+        det = {
+            "image_id": image_id,
+            "category": int(c),
+            "score": float(s),
+            "bbox": b.tolist(),
+        }
+        det["segmentation"] = rle_mod.encode(paste_mask_full(m, b, (oh, ow)))
+        detections.append(det)
+
+    # semantic prediction: argmax at 1/4 canvas scale -> crop -> orig size
+    seg_logits = np.asarray(out_i["seg_logits"])
+    seg_pred_q = seg_logits.argmax(-1)[: max(rh // 4, 1), : max(rw // 4, 1)]
+    seg_pred = cv2.resize(
+        seg_pred_q.astype(np.int32), (ow, oh), interpolation=cv2.INTER_NEAREST
+    )
+
+    # panoptic: channel map -> segments at original resolution
+    pan_q = np.asarray(out_i["pan_map"])[: max(rh // 4, 1), : max(rw // 4, 1)]
+    pan_full = cv2.resize(
+        pan_q.astype(np.int32), (ow, oh), interpolation=cv2.INTER_NEAREST
+    )
+    det_classes_all = np.asarray(out_i["classes"])
+    det_keep = np.asarray(out_i["pan_keep"])
+    if hasattr(dataset, "label_to_thing_cat"):
+        thing_cat_ids = dataset.label_to_thing_cat
+        stuff_cat_ids = dataset.stuff_cat_ids
+        num_stuff = len(stuff_cat_ids)
+    else:  # train-id based datasets (cityscapes, synthetic)
+        num_stuff = cfg.dataset.num_stuff
+        thing_cat_ids = {i: num_stuff + i - 1 for i in range(cfg.dataset.num_classes)}
+        stuff_cat_ids = list(range(num_stuff))
+    # area limit applies at original resolution
+    id_map, segments = build_panoptic_output(
+        pan_full, num_stuff, det_classes_all, det_keep,
+        cfg.test.panoptic_stuff_area_limit, stuff_cat_ids, thing_cat_ids,
+    )
+    return {
+        "detections": detections,
+        "seg": {"image_id": image_id, "pred": seg_pred},
+        "panoptic": {"image_id": image_id, "id_map": id_map, "segments": segments},
+    }
+
+
+def run_evaluation(cfg: Config, dataset, weights=None, logger=None,
+                   max_images=None, params=None):
+    import jax
+    import jax.numpy as jnp
+
+    from upsnet_tpu.models.upsnet import forward_predict
+
+    model = get_model(cfg.symbol, cfg)
+    bucket0 = cfg.test.image_buckets[0]
+    if params is None:
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1,) + tuple(bucket0) + (3,))
+        )["params"]
+        if weights:
+            from upsnet_tpu.train.checkpoints import restore_checkpoint
+
+            state = restore_checkpoint(weights, {"params": params})
+            params = state["params"]
+
+    anchors_by_bucket = {
+        tuple(b): tuple(
+            jnp.asarray(a)
+            for a in pyramid_anchors(tuple(b), scale=cfg.network.anchor_scale,
+                                     ratios=cfg.network.anchor_ratios)
+        )
+        for b in cfg.test.image_buckets
+    }
+    predict_by_bucket = {
+        b: jax.jit(
+            lambda p, batch, anc=anc: forward_predict(model, p, cfg, anc, batch)
+        )
+        for b, anc in anchors_by_bucket.items()
+    }
+
+    all_dets, all_segs, all_pans = [], [], []
+    n = len(dataset) if max_images is None else min(max_images, len(dataset))
+    for i in range(n):
+        s = dataset.sample(i)
+        bucket = tuple(s["images"].shape[:2])
+        batch = {
+            "images": jnp.asarray(s["images"])[None],
+            "im_hw": jnp.asarray(s["im_hw"])[None],
+        }
+        out = predict_by_bucket[bucket](params, batch)
+        out_i = jax.tree.map(lambda x: np.asarray(x[0]), out)
+        res = postprocess_image(cfg, dataset, out_i, s)
+        all_dets.extend(res["detections"])
+        all_segs.append(res["seg"])
+        all_pans.append(res["panoptic"])
+        if logger and (i + 1) % 50 == 0:
+            logger.info("inference %d/%d", i + 1, n)
+
+    results = {}
+    try:
+        results["boxes"] = dataset.evaluate_boxes(all_dets)
+        results["masks"] = dataset.evaluate_masks(all_dets)
+    except NotImplementedError:
+        pass
+    try:
+        results["ssegs"] = dataset.evaluate_ssegs(all_segs)
+        results["panoptic"] = dataset.evaluate_panoptic(all_pans)
+    except NotImplementedError:
+        pass
+    return results
