@@ -2,17 +2,25 @@
 
 This is the JAX-native way to exercise DP/psum sharding without hardware
 (SURVEY.md §4): every test sees 8 virtual CPU devices.
+
+NOTE: some environments install a sitecustomize that overrides
+JAX_PLATFORMS (e.g. a remote-TPU plugin); `jax.config.update` after import
+wins over that, so we do both.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -22,6 +22,10 @@ def main():
     ap.add_argument("--max-images", type=int, default=None)
     args = ap.parse_args()
 
+    from upsnet_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
+
     from upsnet_tpu.config import load_config
     from upsnet_tpu.evaluation.inference import run_evaluation
     from upsnet_tpu.utils.logging import create_logger

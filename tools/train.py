@@ -24,6 +24,10 @@ def main():
                     help="coco | cityscapes | synthetic")
     args = ap.parse_args()
 
+    from upsnet_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
+
     from upsnet_tpu.config import load_config
     from upsnet_tpu.utils.logging import create_logger
 

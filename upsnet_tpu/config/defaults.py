@@ -98,6 +98,10 @@ class TrainConfig:
     lr: float = 0.02
     momentum: float = 0.9
     wd: float = 1e-4
+    # global-norm gradient clip; 0 disables. The reference trains without
+    # clipping but always from pretrained weights; random-init runs (tests,
+    # synthetic overfits) diverge without it.
+    grad_clip: float = 35.0
     warmup_iteration: int = 500
     warmup_factor: float = 1.0 / 3.0
     max_iteration: int = 90000

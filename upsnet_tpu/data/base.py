@@ -133,14 +133,105 @@ class BaseDataset:
         return out
 
     # ---- evaluation entry points (reference API, SURVEY.md §2.4) ----
-    def evaluate_boxes(self, detections):  # pragma: no cover - thin wrapper
-        raise NotImplementedError
+    # Default implementations build GT on the fly from load_gt(); datasets
+    # with external annotation formats (COCO) override them. Category-id
+    # conventions for PQ: stuff = semantic train ids [0, num_stuff);
+    # things = num_stuff + det_label - 1.
 
-    def evaluate_masks(self, detections):
-        raise NotImplementedError
+    def _index_of_image_id(self):
+        return {int(self.image_id(i)): i for i in range(len(self))}
 
-    def evaluate_ssegs(self, seg_preds):
-        raise NotImplementedError
+    def _add_gt_boxes(self, ev, want_masks: bool):
+        from upsnet_tpu.evaluation import rle as rle_mod
 
-    def evaluate_panoptic(self, pan_results):
-        raise NotImplementedError
+        for i in range(len(self)):
+            gt = self.load_gt(i)
+            img_id = int(self.image_id(i))
+            for j in range(len(gt["classes"])):
+                x1, y1, x2, y2 = gt["boxes"][j]
+                g = {
+                    "image_id": img_id,
+                    "category_id": int(gt["classes"][j]),
+                    "bbox": [x1, y1, x2 - x1 + 1, y2 - y1 + 1],
+                    "area": float((x2 - x1 + 1) * (y2 - y1 + 1)),
+                    "iscrowd": 0,
+                }
+                if want_masks:
+                    g["segmentation"] = rle_mod.encode(gt["masks"][j])
+                ev.add_gt(g)
+
+    def evaluate_boxes(self, detections) -> dict:
+        from upsnet_tpu.evaluation.coco_eval import COCOEvaluator
+
+        ev = COCOEvaluator("bbox", max_dets=self.cfg.test.max_det)
+        self._add_gt_boxes(ev, want_masks=False)
+        for d in detections:
+            x1, y1, x2, y2 = d["bbox"]
+            ev.add_det({"image_id": d["image_id"], "category_id": int(d["category"]),
+                        "score": float(d["score"]),
+                        "bbox": [x1, y1, x2 - x1 + 1, y2 - y1 + 1]})
+        return ev.summarize()
+
+    def evaluate_masks(self, detections) -> dict:
+        from upsnet_tpu.evaluation.coco_eval import COCOEvaluator
+
+        ev = COCOEvaluator("segm", max_dets=self.cfg.test.max_det)
+        self._add_gt_boxes(ev, want_masks=True)
+        for d in detections:
+            x1, y1, x2, y2 = d["bbox"]
+            ev.add_det({"image_id": d["image_id"], "category_id": int(d["category"]),
+                        "score": float(d["score"]),
+                        "segmentation": d["segmentation"],
+                        "bbox": [x1, y1, x2 - x1 + 1, y2 - y1 + 1]})
+        return ev.summarize()
+
+    def evaluate_ssegs(self, seg_preds) -> dict:
+        from upsnet_tpu.evaluation.seg_eval import ConfusionMatrix
+
+        index = self._index_of_image_id()
+        cm = ConfusionMatrix(self.cfg.dataset.num_seg_classes)
+        for p in seg_preds:
+            gt = self.load_gt(index[int(p["image_id"])])["seg"]
+            cm.update(gt, p["pred"])
+        return {"mIoU": cm.mean_iou(), "pixel_acc": cm.pixel_accuracy()}
+
+    def evaluate_panoptic(self, pan_results) -> dict:
+        from upsnet_tpu.evaluation.pq import (
+            PQStat,
+            pq_compute_single_image,
+            pq_summarize,
+        )
+
+        num_stuff = self.cfg.dataset.num_stuff
+        index = self._index_of_image_id()
+        stat = PQStat()
+        for p in pan_results:
+            gt = self.load_gt(index[int(p["image_id"])])
+            seg = gt["seg"]
+            gt_map = np.zeros(seg.shape, np.int64)
+            gt_segments = {}
+            next_id = 1
+            for s in range(num_stuff):
+                m = seg == s
+                if not m.any():
+                    continue
+                gt_map[m] = next_id
+                gt_segments[next_id] = {"category_id": s, "iscrowd": 0}
+                next_id += 1
+            for j in range(len(gt["classes"])):
+                m = gt["masks"][j] > 0
+                gt_map[m] = next_id
+                gt_segments[next_id] = {
+                    "category_id": num_stuff + int(gt["classes"][j]) - 1,
+                    "iscrowd": 0,
+                }
+                next_id += 1
+            pred_segments = {
+                s["id"]: {"category_id": s["category_id"]} for s in p["segments"]
+            }
+            stat += pq_compute_single_image(
+                gt_map, p["id_map"], gt_segments, pred_segments
+            )
+        things = set(range(num_stuff, self.cfg.dataset.num_seg_classes))
+        stuff = set(range(num_stuff))
+        return pq_summarize(stat, things, stuff)

@@ -23,10 +23,6 @@ import os
 import numpy as np
 
 from upsnet_tpu.data.base import BaseDataset
-from upsnet_tpu.evaluation.coco_eval import COCOEvaluator
-from upsnet_tpu.evaluation import rle as rle_mod
-from upsnet_tpu.evaluation.pq import PQStat, pq_compute_single_image, pq_summarize
-from upsnet_tpu.evaluation.seg_eval import ConfusionMatrix
 
 # labelId -> trainId (cityscapesScripts table, 255 = ignore)
 LABEL_TO_TRAIN = np.full(256, 255, np.int32)
@@ -103,87 +99,6 @@ class Cityscapes(BaseDataset):
             "seg": seg,
         }
 
-    # ------------------------------------------------------------------
-    def evaluate_ssegs(self, seg_preds) -> dict:
-        cm = ConfusionMatrix(self.cfg.dataset.num_seg_classes)
-        for p in seg_preds:
-            i = int(p["image_id"])
-            import cv2
-
-            label = cv2.imread(self._gt_path(i, "labelIds"), cv2.IMREAD_UNCHANGED)
-            gt = LABEL_TO_TRAIN[label.astype(np.int32)]
-            cm.update(gt, p["pred"])
-        return {"mIoU": cm.mean_iou(), "pixel_acc": cm.pixel_accuracy()}
-
-    def evaluate_boxes(self, detections) -> dict:
-        ev = COCOEvaluator("bbox", max_dets=self.cfg.test.max_det)
-        self._add_gt(ev, want_masks=False)
-        for d in detections:
-            x1, y1, x2, y2 = d["bbox"]
-            ev.add_det({"image_id": d["image_id"], "category_id": int(d["category"]),
-                        "score": float(d["score"]),
-                        "bbox": [x1, y1, x2 - x1 + 1, y2 - y1 + 1]})
-        return ev.summarize()
-
-    def evaluate_masks(self, detections) -> dict:
-        ev = COCOEvaluator("segm", max_dets=self.cfg.test.max_det)
-        self._add_gt(ev, want_masks=True)
-        for d in detections:
-            x1, y1, x2, y2 = d["bbox"]
-            ev.add_det({"image_id": d["image_id"], "category_id": int(d["category"]),
-                        "score": float(d["score"]),
-                        "segmentation": d["segmentation"],
-                        "bbox": [x1, y1, x2 - x1 + 1, y2 - y1 + 1]})
-        return ev.summarize()
-
-    def _add_gt(self, ev: COCOEvaluator, want_masks: bool):
-        for i in range(len(self.files)):
-            gt = self.load_gt(i)
-            for j in range(len(gt["classes"])):
-                x1, y1, x2, y2 = gt["boxes"][j]
-                g = {"image_id": i, "category_id": int(gt["classes"][j]),
-                     "bbox": [x1, y1, x2 - x1 + 1, y2 - y1 + 1],
-                     "area": float((x2 - x1 + 1) * (y2 - y1 + 1)), "iscrowd": 0}
-                if want_masks:
-                    g["segmentation"] = rle_mod.encode(gt["masks"][j])
-                ev.add_gt(g)
-
-    def evaluate_panoptic(self, pan_results) -> dict:
-        """GT panoptic map built from labelIds + instanceIds on the fly."""
-        stat = PQStat()
-        for p in pan_results:
-            i = int(p["image_id"])
-            import cv2
-
-            label = cv2.imread(self._gt_path(i, "labelIds"), cv2.IMREAD_UNCHANGED)
-            inst = cv2.imread(
-                self._gt_path(i, "instanceIds"), cv2.IMREAD_UNCHANGED
-            ).astype(np.int64)
-            train = LABEL_TO_TRAIN[label.astype(np.int32)]
-            gt_map = np.zeros_like(inst)
-            gt_segments = {}
-            next_id = 1
-            for tid in range(NUM_STUFF):
-                m = train == tid
-                if m.sum() == 0:
-                    continue
-                gt_map[m] = next_id
-                gt_segments[next_id] = {"category_id": tid, "iscrowd": 0}
-                next_id += 1
-            for iid in np.unique(inst):
-                if iid < 1000 or (iid // 1000) not in THING_LABEL_IDS:
-                    continue
-                m = inst == iid
-                gt_map[m] = next_id
-                cat = NUM_STUFF + THING_LABEL_IDS.index(iid // 1000)
-                gt_segments[next_id] = {"category_id": cat, "iscrowd": 0}
-                next_id += 1
-            pred_segments = {
-                s["id"]: {"category_id": s["category_id"]} for s in p["segments"]
-            }
-            stat += pq_compute_single_image(
-                gt_map, p["id_map"], gt_segments, pred_segments
-            )
-        things = set(range(NUM_STUFF, 19))
-        stuff = set(range(NUM_STUFF))
-        return pq_summarize(stat, things, stuff)
+    # evaluation: BaseDataset defaults operate on load_gt() with exactly the
+    # conventions used here (stuff = trainIds 0-10, thing category =
+    # num_stuff + det_label - 1 = trainIds 11-18), so no overrides needed.

@@ -100,7 +100,8 @@ class COCOEvaluator:
             [
                 bool(g.get("iscrowd", 0)) or not (lo <= g.get("area", 0.0) < hi)
                 for g in gts
-            ]
+            ],
+            dtype=bool,
         )
         # sort gts: non-ignored first (pycocotools order)
         order = np.argsort(g_ignore, kind="stable")
@@ -137,7 +138,8 @@ class COCOEvaluator:
                 if self.iou_type == "bbox" and "bbox" in x
                 else not (lo <= _det_area(x) < hi)
                 for x in dets
-            ]
+            ],
+            dtype=bool,
         )
         d_ignore |= (d_match == -1) & d_area_out[None, :]
         return {

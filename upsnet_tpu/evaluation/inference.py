@@ -122,7 +122,7 @@ def run_evaluation(cfg: Config, dataset, weights=None, logger=None,
         if weights:
             from upsnet_tpu.train.checkpoints import restore_checkpoint
 
-            state = restore_checkpoint(weights, {"params": params})
+            state = restore_checkpoint(weights, {"params": params}, partial=True)
             params = state["params"]
 
     anchors_by_bucket = {

@@ -114,6 +114,12 @@ def build_model(cfg: Config) -> UPSNetModule:
     )
 
 
+@register_model("upsnet")
+def upsnet_from_config(cfg: Config) -> UPSNetModule:
+    """Generic symbol: backbone taken from cfg.network.backbone."""
+    return build_model(cfg)
+
+
 @register_model("resnet_50_upsnet")
 def resnet_50_upsnet(cfg: Config) -> UPSNetModule:
     import dataclasses

@@ -33,7 +33,17 @@ def latest_checkpoint(ckpt_dir: str) -> str | None:
     return os.path.join(os.path.abspath(ckpt_dir), steps[-1]) if steps else None
 
 
-def restore_checkpoint(path: str, template):
-    """template: pytree of like-shaped arrays (e.g. fresh init)."""
+def restore_checkpoint(path: str, template, partial: bool = False):
+    """template: pytree of like-shaped arrays (e.g. fresh init).
+
+    partial=True restores a subtree (e.g. only params for inference) from a
+    full {params, opt_state, iteration} snapshot.
+    """
+    path = os.path.abspath(path)
+    if partial:
+        # template-free read (returns the full saved tree as host arrays);
+        # callers slice out the subtree they need (e.g. just params)
+        full = ocp.PyTreeCheckpointer().restore(path)
+        return full
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(path, target=template)

@@ -78,7 +78,7 @@ def make_optimizer(cfg: Config, params) -> optax.GradientTransformation:
         )
 
     labels = _param_labels(params, cfg.network.frozen_stages)
-    return optax.multi_transform(
+    tx = optax.multi_transform(
         {
             "weight": sgd(1.0, tc.wd),
             "bias": sgd(2.0, 0.0),
@@ -86,3 +86,6 @@ def make_optimizer(cfg: Config, params) -> optax.GradientTransformation:
         },
         labels,
     )
+    if tc.grad_clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(tc.grad_clip), tx)
+    return tx
