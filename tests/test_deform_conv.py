@@ -105,3 +105,21 @@ def test_deform_conv_offset_gradient_numeric(rng):
             np.testing.assert_allclose(
                 np.asarray(g[i, j, c]), np.asarray(fd), atol=1e-5
             )
+
+
+def test_batched_matches_single(rng):
+    from upsnet_tpu.ops.deform_conv import deform_conv2d_batched
+
+    x = rng.randn(2, 9, 11, 4).astype(np.float32)
+    offsets = (rng.randn(2, 9, 11, 18) * 1.5).astype(np.float32)
+    weight = rng.randn(9, 4, 6).astype(np.float32) * 0.1
+    bias = rng.randn(6).astype(np.float32)
+    got = deform_conv2d_batched(
+        jnp.asarray(x), jnp.asarray(offsets), jnp.asarray(weight), jnp.asarray(bias)
+    )
+    for b in range(2):
+        ref = deform_conv2d(
+            jnp.asarray(x[b]), jnp.asarray(offsets[b]), jnp.asarray(weight),
+            jnp.asarray(bias),
+        )
+        np.testing.assert_allclose(np.asarray(got[b]), np.asarray(ref), atol=2e-4)

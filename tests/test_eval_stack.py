@@ -131,3 +131,51 @@ def test_coco_eval_crowd_not_fp():
                 "score": 0.9})
     res = ev.summarize()
     assert abs(res["AP"] - 1.0) < 1e-6
+
+
+def test_native_rle_matches_numpy(rng):
+    """When the C++ codec is built, it must be byte-identical to numpy."""
+    from upsnet_tpu.evaluation import rle_native
+
+    if not rle_native.available():
+        import pytest
+
+        pytest.skip("native librle.so not built")
+    for _ in range(3):
+        mask = (rng.rand(41, 57) > 0.6).astype(np.uint8)
+        counts_np = rle.mask_to_counts(mask)  # dispatches to native
+        # force-numpy reference
+        flat = np.asfortranarray(mask).reshape(-1, order="F")
+        change = np.flatnonzero(flat[1:] != flat[:-1]) + 1
+        idx = np.concatenate([[0], change, [flat.size]])
+        ref_counts = np.diff(idx).astype(np.int64)
+        if flat[0] == 1:
+            ref_counts = np.concatenate([[0], ref_counts])
+        np.testing.assert_array_equal(np.asarray(counts_np), ref_counts)
+        enc_nat = rle_native.encode_counts(ref_counts)
+        # numpy string encoder (bypass dispatch by inlining the algorithm)
+        out = bytearray()
+        cl = [int(c) for c in ref_counts]
+        for i, x in enumerate(cl):
+            if i > 2:
+                x -= cl[i - 2]
+            more = True
+            while more:
+                c = x & 0x1F
+                x >>= 5
+                more = not ((x == 0 and not (c & 0x10)) or (x == -1 and (c & 0x10)))
+                if more:
+                    c |= 0x20
+                out.append(c + 48)
+        assert enc_nat == bytes(out)
+        np.testing.assert_array_equal(
+            rle_native.decode_counts(enc_nat), ref_counts
+        )
+        np.testing.assert_array_equal(
+            rle_native.counts_to_mask(ref_counts, mask.shape), mask
+        )
+        a2 = (rng.rand(41, 57) > 0.6).astype(np.uint8)
+        ca2 = rle_native.mask_to_counts(a2)
+        assert rle_native.intersection(ref_counts, ca2) == int(
+            np.sum(mask & a2)
+        )

@@ -105,3 +105,44 @@ def test_fpn_roi_align_matches_single_level(rng):
     for i, lev in enumerate(levels):
         ref = roi_align_ref(feats[lev], rois[i : i + 1], 7, 1.0 / strides[lev], 2)
         np.testing.assert_allclose(np.asarray(got[i]), ref[0], atol=1e-4)
+
+
+def test_batched_matches_per_image(rng):
+    from upsnet_tpu.ops.roi_align import fpn_roi_align_batched
+
+    shapes = [(16, 24), (8, 12), (4, 6), (2, 3)]
+    strides = (4, 8, 16, 32)
+    b = 2
+    feats = [rng.randn(b, h, w, 8).astype(np.float32) for h, w in shapes]
+    rois = rng.uniform(0, 50, (b, 6, 4)).astype(np.float32)
+    rois[..., 2:] = rois[..., :2] + rng.uniform(4, 30, (b, 6, 2))
+    levels = rng.randint(0, 4, (b, 6)).astype(np.int32)
+    got = fpn_roi_align_batched(
+        tuple(jnp.asarray(f) for f in feats), jnp.asarray(rois),
+        jnp.asarray(levels), pooled=7, sampling_ratio=2, strides=strides,
+    )
+    for bi in range(b):
+        ref = fpn_roi_align(
+            tuple(jnp.asarray(f[bi]) for f in feats), jnp.asarray(rois[bi]),
+            jnp.asarray(levels[bi]), pooled=7, sampling_ratio=2,
+            strides=strides,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got[bi]), np.asarray(ref), atol=1e-4
+        )
+
+
+def test_batched_chunked_equals(rng):
+    from upsnet_tpu.ops.roi_align import fpn_roi_align_batched
+
+    shapes = [(16, 24), (8, 12), (4, 6), (2, 3)]
+    strides = (4, 8, 16, 32)
+    feats = [rng.randn(1, h, w, 4).astype(np.float32) for h, w in shapes]
+    rois = rng.uniform(0, 50, (1, 10, 4)).astype(np.float32)
+    rois[..., 2:] = rois[..., :2] + 10
+    levels = rng.randint(0, 4, (1, 10)).astype(np.int32)
+    args = (tuple(jnp.asarray(f) for f in feats), jnp.asarray(rois),
+            jnp.asarray(levels))
+    a = fpn_roi_align_batched(*args, pooled=5, strides=strides, chunk=4)
+    c = fpn_roi_align_batched(*args, pooled=5, strides=strides, chunk=1024)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-5)

@@ -19,9 +19,13 @@ from __future__ import annotations
 
 import numpy as np
 
+from upsnet_tpu.evaluation import rle_native as _native
+
 
 def mask_to_counts(mask: np.ndarray) -> np.ndarray:
     """Binary (H, W) mask -> run-length counts (column-major, 0s first)."""
+    if _native.available():
+        return _native.mask_to_counts(mask)
     flat = np.asfortranarray(mask).reshape(-1, order="F").astype(np.uint8)
     if flat.size == 0:
         return np.array([0], dtype=np.int64)
@@ -34,6 +38,8 @@ def mask_to_counts(mask: np.ndarray) -> np.ndarray:
 
 
 def counts_to_mask(counts, shape) -> np.ndarray:
+    if _native.available():
+        return _native.counts_to_mask(np.asarray(counts, np.int64), shape)
     h, w = shape
     total = h * w
     flat = np.zeros(total, np.uint8)
@@ -51,6 +57,8 @@ def counts_to_mask(counts, shape) -> np.ndarray:
 
 def encode_counts(counts) -> bytes:
     """LEB128-style signed 5-bit packing with delta, pycocotools-compatible."""
+    if _native.available():
+        return _native.encode_counts(np.asarray(counts, np.int64))
     out = bytearray()
     counts = [int(c) for c in counts]
     for i, x in enumerate(counts):
@@ -68,6 +76,8 @@ def encode_counts(counts) -> bytes:
 
 
 def decode_counts(data: bytes) -> list[int]:
+    if _native.available():
+        return _native.decode_counts(data).tolist()
     counts: list[int] = []
     pos = 0
     n = len(data)
@@ -129,6 +139,10 @@ def intersection_area(rle_a: dict, rle_b: dict) -> int:
         ca = decode_counts(ca if isinstance(ca, bytes) else ca.encode())
     if isinstance(cb, (bytes, str)):
         cb = decode_counts(cb if isinstance(cb, bytes) else cb.encode())
+    if _native.available():
+        return _native.intersection(
+            np.asarray(ca, np.int64), np.asarray(cb, np.int64)
+        )
     sa, ea = _runs(ca)
     sb, eb = _runs(cb)
     inter = 0

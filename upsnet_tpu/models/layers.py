@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from upsnet_tpu.ops.deform_conv import deform_conv2d
+from upsnet_tpu.ops.deform_conv import deform_conv2d_batched, deform_conv2d_mxu
 
 
 class FrozenBatchNorm(nn.Module):
@@ -45,6 +45,10 @@ class DeformConv(nn.Module):
     dilation: int = 1
     use_bias: bool = True
     dtype: Any = jnp.float32
+    # 'mxu': dense hat-matmul sampling (fast; exact for |dy| <= max_dy)
+    # 'gather': unbounded-exact XLA gather path
+    impl: str = "mxu"
+    max_dy: int = 6
 
     @nn.compact
     def __call__(self, x):  # x: (B, H, W, C)
@@ -74,10 +78,15 @@ class DeformConv(nn.Module):
         )
         w = weight.astype(self.dtype)
         b = bias.astype(self.dtype) if bias is not None else None
-        fn = lambda xi, oi: deform_conv2d(
-            xi.astype(self.dtype), oi, w, b, kernel_size=k, dilation=self.dilation
+        if self.impl == "mxu":
+            return deform_conv2d_mxu(
+                x.astype(self.dtype), offsets, w, b,
+                kernel_size=k, dilation=self.dilation, max_dy=self.max_dy,
+            )
+        return deform_conv2d_batched(
+            x.astype(self.dtype), offsets, w, b,
+            kernel_size=k, dilation=self.dilation,
         )
-        return jax.vmap(fn)(x, offsets)
 
 
 def conv(features, kernel, stride=1, use_bias=False, dtype=jnp.float32, name=None,

@@ -35,7 +35,7 @@ from upsnet_tpu.ops import panoptic as pan_ops
 from upsnet_tpu.ops.boxes import clip_boxes, decode_boxes, fpn_level_assignment
 from upsnet_tpu.ops.nms import nms_padded
 from upsnet_tpu.ops.proposals import pyramid_proposals
-from upsnet_tpu.ops.roi_align import fpn_roi_align
+from upsnet_tpu.ops.roi_align import fpn_roi_align_batched
 from upsnet_tpu.ops.targets import proposal_mask_targets, rpn_targets
 from upsnet_tpu.train import losses as L
 
@@ -155,12 +155,12 @@ def _flatten_rpn(rpn_cls, rpn_bbox):
 
 
 def _pool_boxes(pyramid, rois, pooled, sampling_ratio=2):
-    """vmap fpn_roi_align over the batch. pyramid P2..P5 (B, H, W, C)."""
-    fn = lambda feats, r, lev: fpn_roi_align(
-        feats, r, lev, pooled=pooled, sampling_ratio=sampling_ratio
-    )
+    """Fused batched ROIAlign over P2..P5 (each (B, H, W, C))."""
     levels = jax.vmap(lambda r: fpn_level_assignment(r) - 2)(rois)
-    return jax.vmap(fn)(tuple(pyramid[:4]), rois, levels)
+    return fpn_roi_align_batched(
+        tuple(pyramid[:4]), rois, levels, pooled=pooled,
+        sampling_ratio=sampling_ratio,
+    )
 
 
 class Detections(NamedTuple):

@@ -106,6 +106,179 @@ def deform_conv2d(
     return out.reshape(h, w, cout)
 
 
+@functools.partial(jax.jit, static_argnames=("kernel_size", "dilation"))
+def deform_conv2d_batched(
+    x: jnp.ndarray,
+    offsets: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    kernel_size: int = 3,
+    dilation: int = 1,
+) -> jnp.ndarray:
+    """Batched deformable conv, optimized for the TPU gather path.
+
+    Same semantics as ``deform_conv2d`` (verified against it in tests), with
+    two exact algebraic transformations that matter on TPU:
+
+      1. **Project-then-sample**: bilinear interpolation is linear, so
+         ``sum_k W_k . x(s_k(p)) == sum_k (x @ W_k)(s_k(p))``. Projecting
+         through each tap's weight FIRST means the gather moves Cout
+         channels instead of Cin — a 2x traffic cut for the semantic head's
+         first layer (256 -> 128) — and the 9 projections are one fused
+         (HW, Cin) @ (Cin, 9*Cout) MXU matmul.
+      2. **One flat gather across the batch** per corner/tap instead of a
+         vmapped per-image gather (avoids XLA's batched-gather lowering).
+
+      3. **Patch-gather**: XLA's TPU gather cost is per-ROW, independent of
+         row width (measured: 560k rows cost ~the same at C=128 and C=256).
+         Packing the 2x2 bilinear neighborhood into each row via two
+         shifted concats turns 4 corner gathers into ONE (36 -> 9 gathers
+         per layer).
+
+    Args:
+      x: (B, H, W, Cin); offsets: (B, H, W, 2K); weight: (K, Cin, Cout).
+    Returns: (B, H, W, Cout).
+    """
+    b, h, w, cin = x.shape
+    k = kernel_size * kernel_size
+    cout = weight.shape[-1]
+    half = (kernel_size - 1) // 2
+
+    # one MXU matmul for all tap projections: (B*H*W, Cin) @ (Cin, K*Cout)
+    wk = jnp.moveaxis(weight, 0, 1).reshape(cin, k * cout).astype(x.dtype)
+    y = jnp.dot(x.reshape(-1, cin), wk, preferred_element_type=x.dtype)
+    y = y.reshape(b, h, w, k, cout)
+    # zero-pad 1 on each side so corner-base indices never need clamping
+    # (clamping would misalign the packed 2x2 patch layout)
+    yp = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+    hp, wp = h + 2, w + 2
+
+    iy = jnp.arange(h, dtype=offsets.dtype)[None, :, None]
+    ix = jnp.arange(w, dtype=offsets.dtype)[None, None, :]
+    ib = jnp.arange(b, dtype=jnp.int32)[:, None, None]
+    out = jnp.zeros((b * h * w, cout), dtype=x.dtype)
+    for tap in range(k):
+        kh, kw = divmod(tap, kernel_size)
+        yt = yp[:, :, :, tap]  # (b, hp, wp, cout)
+        # pack the 2x2 neighborhood into each row: [ll, lh, hl, hh]
+        y_r = jnp.concatenate([yt, jnp.roll(yt, -1, axis=2)], axis=-1)
+        y_patch = jnp.concatenate([y_r, jnp.roll(y_r, -1, axis=1)], axis=-1)
+        flat = y_patch.reshape(b * hp * wp, 4 * cout)
+
+        sy = iy + (kh - half) * dilation + offsets[..., 2 * tap]
+        sx = ix + (kw - half) * dilation + offsets[..., 2 * tap + 1]
+        inside = (sy > -1.0) & (sy < h) & (sx > -1.0) & (sx < w)
+        yl = jnp.floor(sy)
+        xl = jnp.floor(sx)
+        ly = sy - yl
+        lx = sx - xl
+        yli = yl.astype(jnp.int32)
+        xli = xl.astype(jnp.int32)
+        # base in padded coords; inside => yl in [-1, h-1], xl in [-1, w-1]
+        base = (ib * hp + jnp.clip(yli + 1, 0, hp - 1)) * wp + jnp.clip(
+            xli + 1, 0, wp - 1
+        )
+        patch4 = flat[base.reshape(-1)].reshape(b, h, w, 4, cout)
+        okf = inside.astype(x.dtype)
+        ly = ly.astype(x.dtype)
+        lx = lx.astype(x.dtype)
+        wts = jnp.stack(
+            [
+                (1 - ly) * (1 - lx),
+                (1 - ly) * lx,
+                ly * (1 - lx),
+                ly * lx,
+            ],
+            axis=-1,
+        ) * okf[..., None]
+        sampled = jnp.einsum(
+            "bhwp,bhwpc->bhwc", wts, patch4.astype(x.dtype)
+        )
+        out = out + sampled.reshape(-1, cout)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out.reshape(b, h, w, cout)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kernel_size", "dilation", "max_dy")
+)
+def deform_conv2d_mxu(
+    x: jnp.ndarray,
+    offsets: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    kernel_size: int = 3,
+    dilation: int = 1,
+    max_dy: int = 6,
+) -> jnp.ndarray:
+    """Deformable conv with bilinear sampling as dense MXU matmuls.
+
+    TPU-native reformulation: XLA's gather lowers to per-row DMAs (~60ns a
+    row — measured 200+ ms for one semantic-head layer), so instead the
+    bilinear interpolation is expressed densely:
+
+      sample(p) = sum_r sum_c hat(sy(p) - r) * hat(sx(p) - c) * y[r, c, :]
+
+    where ``hat(t) = max(0, 1 - |t|)`` reproduces the two-corner bilinear
+    weights exactly. The column sum is a batched (W_out, W_pad) x
+    (W_pad, Cout) matmul per row — systolic-array work — and the row sum
+    runs over the ``2*max_dy + 3`` vertical candidates that ``hat`` can
+    reach. Burning dense MXU flops beats scalar gathers by ~4x here.
+
+    Exact vs the reference kernel whenever every learned vertical offset
+    satisfies |dy| <= max_dy (horizontal offsets are unrestricted — the
+    matmul contracts the full padded row). Larger |dy| contributes zero
+    (instead of the true far sample); trained DCNv1 offsets at 1/4 scale
+    are well inside +-6. Set max_dy higher (cost is linear) or use
+    ``deform_conv2d_batched`` for the unbounded-exact path.
+    """
+    b, h, w, cin = x.shape
+    k = kernel_size * kernel_size
+    cout = weight.shape[-1]
+    half = (kernel_size - 1) // 2
+
+    wk = jnp.moveaxis(weight, 0, 1).reshape(cin, k * cout).astype(x.dtype)
+    y = jnp.dot(x.reshape(-1, cin), wk, preferred_element_type=x.dtype)
+    y = y.reshape(b, h, w, k, cout)
+
+    iy = jnp.arange(h, dtype=offsets.dtype)[None, :, None]
+    ix = jnp.arange(w, dtype=offsets.dtype)[None, None, :]
+    # padded column centers at coordinate (col - 1): support [-1, w]
+    cols = jnp.arange(w + 2, dtype=offsets.dtype) - 1.0
+    pad_rows = max_dy + 2 + half * dilation
+    n_a = 2 * max_dy + 3
+    out = jnp.zeros((b, h, w, cout), dtype=x.dtype)
+    for tap in range(k):
+        kh, kw = divmod(tap, kernel_size)
+        dbase = (kh - half) * dilation
+        yt = jnp.pad(
+            y[:, :, :, tap],
+            ((0, 0), (pad_rows, pad_rows), (1, 1), (0, 0)),
+        )  # (b, h + 2*pad_rows, w + 2, cout)
+        sy = iy + dbase + offsets[..., 2 * tap]
+        sx = ix + (kw - half) * dilation + offsets[..., 2 * tap + 1]
+        inside = (sy > -1.0) & (sy < h) & (sx > -1.0) & (sx < w)
+        vx = jnp.maximum(1.0 - jnp.abs(sx[..., None] - cols), 0.0)
+        vx = (vx * inside[..., None]).astype(x.dtype)  # (b, h, w, w+2)
+
+        def body(ai, acc, yt=yt, sy=sy, vx=vx, dbase=dbase):
+            a = ai - (max_dy + 1) + dbase  # vertical candidate offset
+            vy = jnp.maximum(1.0 - jnp.abs(sy - (iy + a)), 0.0)
+            x_a = jax.lax.dynamic_slice(
+                yt, (0, pad_rows + a, 0, 0), (b, h, w + 2, cout)
+            )
+            t = jnp.einsum(
+                "bijw,biwc->bijc", vx, x_a, preferred_element_type=x.dtype
+            )
+            return acc + vy[..., None].astype(x.dtype) * t
+
+        out = jax.lax.fori_loop(0, n_a, body, out)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
 def plain_conv_weight_as_deform(weight_hwio: jnp.ndarray) -> jnp.ndarray:
     """Reshape an (kh, kw, Cin, Cout) conv weight to the (K, Cin, Cout)
     tap-major layout ``deform_conv2d`` expects (zero offsets then reproduce
