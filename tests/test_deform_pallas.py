@@ -1,0 +1,77 @@
+"""Pallas deformable-sampling kernel vs jnp references (interpret mode on
+CPU — the SURVEY.md §5.2 stand-in for kernel sanitizers)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from upsnet_tpu.ops import deform_conv_pallas as dcp
+from upsnet_tpu.ops.deform_conv import deform_conv2d_batched, deform_conv2d_mxu
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    """Run pallas_call in interpreter mode (no TPU in the test env)."""
+    import jax.experimental.pallas as pl
+
+    real_call = pl.pallas_call
+
+    def fake_call(*args, **kw):
+        kw["interpret"] = True
+        return real_call(*args, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", fake_call)
+    yield
+
+
+def test_sample_pallas_matches_ref(rng):
+    b, h, w, c = 2, 16, 20, 128
+    r = 4
+    wp = 128  # round_up(22, 128)
+    y = rng.randn(b, h + 2 * (r + 2), wp, c).astype(np.float32)
+    sy = (rng.randn(b, h, w) * 2 + np.arange(h)[None, :, None]).astype(np.float32)
+    sx = (rng.randn(b, h, w) * 2 + np.arange(w)[None, None, :]).astype(np.float32)
+    got = dcp._sample_pallas(jnp.asarray(y), jnp.asarray(sy), jnp.asarray(sx), r)
+    ref = dcp._sample_ref(jnp.asarray(y), jnp.asarray(sy), jnp.asarray(sx), r)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_deform_conv_pallas_matches_exact(rng):
+    x = rng.randn(1, 16, 20, 16).astype(np.float32)
+    offsets = (rng.randn(1, 16, 20, 18) * 1.5).astype(np.float32)
+    weight = rng.randn(9, 16, 128).astype(np.float32) * 0.1
+    exact = deform_conv2d_batched(
+        jnp.asarray(x), jnp.asarray(offsets), jnp.asarray(weight)
+    )
+    got = dcp.deform_conv2d_pallas(
+        jnp.asarray(x), jnp.asarray(offsets), jnp.asarray(weight), max_dy=6
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exact), atol=2e-3)
+
+
+def test_mxu_variant_matches_exact(rng):
+    x = rng.randn(2, 12, 14, 8).astype(np.float32)
+    offsets = (rng.randn(2, 12, 14, 18) * 1.5).astype(np.float32)
+    weight = rng.randn(9, 8, 6).astype(np.float32) * 0.1
+    exact = deform_conv2d_batched(
+        jnp.asarray(x), jnp.asarray(offsets), jnp.asarray(weight)
+    )
+    got = deform_conv2d_mxu(
+        jnp.asarray(x), jnp.asarray(offsets), jnp.asarray(weight), max_dy=6
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exact), atol=2e-3)
+
+
+def test_pallas_gradients_flow(rng):
+    x = jnp.asarray(rng.randn(1, 16, 20, 16).astype(np.float32))
+    offsets = jnp.asarray((rng.randn(1, 16, 20, 18) * 0.5).astype(np.float32))
+    weight = jnp.asarray(rng.randn(9, 16, 128).astype(np.float32) * 0.1)
+
+    def loss(x, o, w):
+        return jnp.sum(dcp.deform_conv2d_pallas(x, o, w, max_dy=4) ** 2)
+
+    gx, go, gw = jax.grad(loss, argnums=(0, 1, 2))(x, offsets, weight)
+    for g in (gx, go, gw):
+        assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.abs(go).sum()) > 0

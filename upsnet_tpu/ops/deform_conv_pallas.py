@@ -1,0 +1,228 @@
+"""Pallas TPU kernel for deformable-conv bilinear sampling.
+
+The performance-critical piece of the semantic head (SURVEY.md §2.1): per
+output pixel, a bilinearly-weighted 2x2 fetch at a learned fractional
+offset. XLA's gather lowers this to per-row DMAs (~25x off roofline);
+``deform_conv2d_mxu`` re-expresses it as dense hat-function matmuls but
+streams the hat matrices through HBM. This kernel keeps everything in VMEM
+and fuses the whole row computation into ONE systolic-array matmul:
+
+  for each output row i:
+    Wmat[j, (a, c)] = hat(sy[i,j] - (i+a)) * hat(sx[i,j] - (c-1)) * inside
+    out[i] = Wmat (W, A*Wp) @ X (A*Wp, C)       # A = 2*max_dy+3 candidates
+
+where X is the window of A consecutive (padded) feature rows — a contiguous
+VMEM slice. hat(t) = max(0, 1 - |t|) reproduces the two-corner bilinear
+weights exactly, so results match the reference kernel whenever every
+vertical offset satisfies |dy| <= max_dy (horizontal offsets unrestricted).
+
+Grid: (batch, row blocks of RB=8). The feature map stays in HBM; each
+program DMAs its (RB + 2*max_dy + 2)-row halo window once (2.75x overlap).
+
+Backward: jax.custom_vjp with the jnp hat-sampling math as the VJP —
+training correctness without a hand-written transpose kernel (forward
+dominates the production profile; SURVEY.md §7.3 #3).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+RB = 8  # output rows per program
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _sample_kernel(sy_ref, sx_ref, y_hbm, out_ref, win, wmat_t, sem, *,
+                   h: int, w: int, wp: int, c: int, r: int):
+    """One (batch, row-block) program.
+
+    Everything is built in "transposed" orientation — weight rows on
+    sublanes, output pixels on lanes — so no vector transposes and no
+    per-lane dynamic slicing are needed; the MXU contracts over dim 0 of
+    both operands.
+    """
+    rb_idx = pl.program_id(1)
+    i0 = rb_idx * RB
+    a_n = 2 * r + 3
+    win_rows = RB + 2 * r + 2
+
+    b_idx = pl.program_id(0)
+    dma = pltpu.make_async_copy(
+        y_hbm.at[b_idx, pl.ds(i0 + 1, win_rows)], win, sem
+    )
+    dma.start()
+
+    # row q of cols_t holds the column coordinate (q - 1) for all pixels
+    cols_t = (
+        jax.lax.broadcasted_iota(jnp.int32, (wp, w), 0).astype(jnp.float32)
+        - 1.0
+    )
+    dma.wait()
+
+    for li in range(RB):
+        sy_r = sy_ref[0, li:li + 1, :]  # (1, w)
+        sx_r = sx_ref[0, li:li + 1, :]
+        inside = (
+            (sy_r > -1.0) & (sy_r < float(h))
+            & (sx_r > -1.0) & (sx_r < float(w))
+        )  # (1, w)
+        vx_t = jnp.maximum(1.0 - jnp.abs(sx_r - cols_t), 0.0)  # (wp, w)
+        vx_t = jnp.where(inside, vx_t, 0.0)
+        i_glob = jnp.float32(i0 * 1.0) + li
+        for a in range(a_n):
+            vy = jnp.maximum(
+                1.0 - jnp.abs(sy_r - (i_glob + (a - (r + 1)))), 0.0
+            )  # (1, w)
+            wmat_t[pl.ds(a * wp, wp), :] = (vy * vx_t).astype(wmat_t.dtype)
+        x = win[pl.ds(li, a_n)].reshape(a_n * wp, c)
+        out_ref[0, li] = jax.lax.dot_general(
+            wmat_t[:], x,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("max_dy",))
+def _sample_pallas(y_pad, sy, sx, max_dy: int):
+    """y_pad (B, Hpad, Wp, C) bf16/f32; sy, sx (B, H, W) f32 sample coords.
+
+    Returns (B, H, W, C) sampled values. Hpad = H + 2*(max_dy + 2); Wp is
+    the horizontally padded + 128-aligned width (coordinate of col c is
+    c - 1; columns beyond w + 2 are zero and unreachable by hat).
+    """
+    b, hpad, wp, c = y_pad.shape
+    _, h, w = sy.shape
+    r = max_dy
+    n_blocks = h // RB
+    assert h % RB == 0, (h, RB)
+    win_rows = RB + 2 * r + 2
+    a_n = 2 * r + 3
+
+    kernel = functools.partial(
+        _sample_kernel, h=h, w=w, wp=wp, c=c, r=r
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, RB, w), lambda bi, ri: (bi, ri, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RB, w), lambda bi, ri: (bi, ri, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # y_pad stays in HBM
+        ],
+        out_specs=pl.BlockSpec((1, RB, w, c), lambda bi, ri: (bi, ri, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), y_pad.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((win_rows, wp, c), y_pad.dtype),
+            pltpu.VMEM((a_n * wp, w), y_pad.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(sy, sx, y_pad)
+
+
+def _sample_ref(y_pad, sy, sx, max_dy: int):
+    """jnp reference of the same hat-sampling math (used for the VJP and
+    for interpret-mode equivalence tests)."""
+    b, hpad, wp, c = y_pad.shape
+    _, h, w = sy.shape
+    r = max_dy
+    iy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    cols = jnp.arange(wp, dtype=jnp.float32) - 1.0
+    inside = (sy > -1.0) & (sy < h) & (sx > -1.0) & (sx < w)
+    vx = jnp.maximum(1.0 - jnp.abs(sx[..., None] - cols), 0.0)
+    vx = vx * inside[..., None].astype(vx.dtype)
+    out = jnp.zeros((b, h, w, c), y_pad.dtype)
+    for a in range(-(r + 1), r + 2):
+        vy = jnp.maximum(1.0 - jnp.abs(sy - (iy + a)), 0.0)
+        x_a = jax.lax.dynamic_slice(
+            y_pad, (0, r + 2 + a, 0, 0), (b, h, wp, c)
+        )
+        t = jnp.einsum(
+            "bijw,biwc->bijc", vx.astype(y_pad.dtype), x_a,
+            preferred_element_type=y_pad.dtype,
+        )
+        out = out + vy[..., None].astype(y_pad.dtype) * t
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def deform_sample(y_pad, sy, sx, max_dy: int):
+    return _sample_pallas(y_pad, sy, sx, max_dy)
+
+
+def _fwd(y_pad, sy, sx, max_dy):
+    return _sample_pallas(y_pad, sy, sx, max_dy), (y_pad, sy, sx)
+
+
+def _bwd(max_dy, res, g):
+    y_pad, sy, sx = res
+    _, vjp = jax.vjp(lambda a, b, c: _sample_ref(a, b, c, max_dy), y_pad, sy, sx)
+    return vjp(g)
+
+
+deform_sample.defvjp(_fwd, _bwd)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kernel_size", "dilation", "max_dy")
+)
+def deform_conv2d_pallas(
+    x: jnp.ndarray,
+    offsets: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    kernel_size: int = 3,
+    dilation: int = 1,
+    max_dy: int = 6,
+) -> jnp.ndarray:
+    """Deformable conv: project-first + Pallas hat-matmul sampling.
+
+    Same interface/semantics as ops.deform_conv.deform_conv2d_mxu (exact
+    for |dy| <= max_dy). Requires H % 8 == 0 (true for all /4-scale bucket
+    shapes); falls back to the mxu path otherwise.
+    """
+    from upsnet_tpu.ops.deform_conv import deform_conv2d_mxu
+
+    b, h, w, cin = x.shape
+    if h % RB != 0 or weight.shape[-1] % 128 != 0:
+        return deform_conv2d_mxu(
+            x, offsets, weight, bias, kernel_size, dilation, max_dy
+        )
+    k = kernel_size * kernel_size
+    cout = weight.shape[-1]
+    half = (kernel_size - 1) // 2
+    wp = _round_up(w + 2, 128)
+
+    wk = jnp.moveaxis(weight, 0, 1).reshape(cin, k * cout).astype(x.dtype)
+    y = jnp.dot(x.reshape(-1, cin), wk, preferred_element_type=x.dtype)
+    y = y.reshape(b, h, w, k, cout)
+    # one candidate radius for all taps: covers |dy| <= max_dy plus the
+    # tap's own +-dilation integer row shift
+    r_eff = max_dy + dilation
+    pad_rows = r_eff + 2
+
+    iy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    ix = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    out = jnp.zeros((b, h, w, cout), dtype=x.dtype)
+    for tap in range(k):
+        kh, kw = divmod(tap, kernel_size)
+        y_pad = jnp.pad(
+            y[:, :, :, tap],
+            ((0, 0), (pad_rows, pad_rows), (1, wp - w - 1), (0, 0)),
+        )
+        sy = iy + (kh - half) * dilation + offsets[..., 2 * tap].astype(jnp.float32)
+        sx = ix + (kw - half) * dilation + offsets[..., 2 * tap + 1].astype(jnp.float32)
+        out = out + deform_sample(y_pad, sy, sx, r_eff)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
