@@ -58,19 +58,23 @@ def main():
         np.tile(np.array([[800.0, 1333.0]], np.float32), (batch_size, 1))
     )
 
-    # warmup / compile
+    # warmup / compile (host-materialize: block_until_ready is unreliable
+    # through remote-device relays, and identical re-dispatches can be
+    # memoized — vary inputs and sync per iteration)
     out = predict(params, images, im_hw)
-    jax.block_until_ready(out)
-    out = predict(params, images, im_hw)
-    jax.block_until_ready(out)
+    _ = np.asarray(out["boxes"][0, 0])
 
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = predict(params, images, im_hw)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    ips = batch_size * iters / dt
+    iters = 5
+    times = []
+    for i in range(iters):
+        im_i = images + (i + 1) * 0.01
+        _ = np.asarray(im_i[0, 0, 0, 0])
+        t0 = time.perf_counter()
+        out = predict(params, im_i, im_hw)
+        _ = np.asarray(out["boxes"][0, 0])
+        _ = np.asarray(out["pan_map"][0, 0, 0])
+        times.append(time.perf_counter() - t0)
+    ips = batch_size / min(times)
 
     print(
         json.dumps(

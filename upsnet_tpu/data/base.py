@@ -55,21 +55,30 @@ class BaseDataset:
         return i
 
     # ---- sample construction ----
-    def sample(self, i: int, rng: np.random.RandomState | None = None) -> dict:
+    def sample(self, i: int, rng: np.random.RandomState | None = None,
+               target_scale: int | None = None, hflip: bool = False) -> dict:
+        """Build one preprocessed sample. ``target_scale``/``hflip`` override
+        the config (used by multi-scale / flip test-time augmentation)."""
         rng = rng or np.random
         img = self.load_image(i).astype(np.float32)
         h, w = img.shape[:2]
-        target = self.scales[rng.randint(len(self.scales))] if self.training else self.scales[0]
+        if target_scale is not None:
+            target = target_scale
+        elif self.training:
+            target = self.scales[rng.randint(len(self.scales))]
+        else:
+            target = self.scales[0]
         scale = T.compute_resize_scale(h, w, target, self.max_size)
         img = T.resize_image(img, scale)
         rh, rw = img.shape[:2]
         img = T.normalize_bgr(img)
 
         gt = self.load_gt(i) if self.training else None
-        flipped = False
+        flipped = hflip
         if self.training and self.cfg.train.flip and rng.rand() < 0.5:
-            img = T.flip_image(img).copy()
             flipped = True
+        if flipped:
+            img = T.flip_image(img).copy()
 
         bucket = T.pick_bucket(rh, rw, self.buckets)
         canvas = T.pad_to_bucket(img, bucket)

@@ -43,6 +43,31 @@ def paste_mask_full(mask_prob: np.ndarray, box: np.ndarray, hw) -> np.ndarray:
     return out
 
 
+def _category_tables(cfg: Config, dataset):
+    """(num_stuff, stuff channel -> cat id, det label -> cat id)."""
+    if hasattr(dataset, "label_to_thing_cat"):
+        stuff_ids = dataset.stuff_cat_ids
+        return len(stuff_ids), stuff_ids, dataset.label_to_thing_cat
+    num_stuff = cfg.dataset.num_stuff
+    thing_ids = {i: num_stuff + i - 1 for i in range(cfg.dataset.num_classes)}
+    return num_stuff, list(range(num_stuff)), thing_ids
+
+
+def _summarize(dataset, all_dets, all_segs, all_pans) -> dict:
+    results = {}
+    try:
+        results["boxes"] = dataset.evaluate_boxes(all_dets)
+        results["masks"] = dataset.evaluate_masks(all_dets)
+    except NotImplementedError:
+        pass
+    try:
+        results["ssegs"] = dataset.evaluate_ssegs(all_segs)
+        results["panoptic"] = dataset.evaluate_panoptic(all_pans)
+    except NotImplementedError:
+        pass
+    return results
+
+
 def postprocess_image(cfg: Config, dataset, out_i: dict, meta: dict):
     """Device outputs for one image -> detection / seg / panoptic results in
     original-image coordinates."""
@@ -86,14 +111,7 @@ def postprocess_image(cfg: Config, dataset, out_i: dict, meta: dict):
     )
     det_classes_all = np.asarray(out_i["classes"])
     det_keep = np.asarray(out_i["pan_keep"])
-    if hasattr(dataset, "label_to_thing_cat"):
-        thing_cat_ids = dataset.label_to_thing_cat
-        stuff_cat_ids = dataset.stuff_cat_ids
-        num_stuff = len(stuff_cat_ids)
-    else:  # train-id based datasets (cityscapes, synthetic)
-        num_stuff = cfg.dataset.num_stuff
-        thing_cat_ids = {i: num_stuff + i - 1 for i in range(cfg.dataset.num_classes)}
-        stuff_cat_ids = list(range(num_stuff))
+    num_stuff, stuff_cat_ids, thing_cat_ids = _category_tables(cfg, dataset)
     # area limit applies at original resolution
     id_map, segments = build_panoptic_output(
         pan_full, num_stuff, det_classes_all, det_keep,
@@ -140,8 +158,38 @@ def run_evaluation(cfg: Config, dataset, weights=None, logger=None,
         for b, anc in anchors_by_bucket.items()
     }
 
+    use_tta = bool(cfg.test.multi_scale) or cfg.test.flip_test
     all_dets, all_segs, all_pans = [], [], []
     n = len(dataset) if max_images is None else min(max_images, len(dataset))
+    if use_tta:
+        from upsnet_tpu.evaluation.tta import predict_image_tta
+
+        for i in range(n):
+            r = predict_image_tta(cfg, dataset, i, params, predict_by_bucket)
+            oh, ow = r["orig_hw"]
+            for b, s_, c, m in zip(
+                r["boxes"], r["scores"], r["classes"], r["mask_logits"]
+            ):
+                mp = 1.0 / (1.0 + np.exp(-m))
+                all_dets.append({
+                    "image_id": r["image_id"], "category": int(c),
+                    "score": float(s_), "bbox": b.tolist(),
+                    "segmentation": rle_mod.encode(
+                        paste_mask_full(mp, b, (oh, ow))
+                    ),
+                })
+            all_segs.append({"image_id": r["image_id"], "pred": r["seg_pred"]})
+            num_stuff, stuff_ids, thing_ids = _category_tables(cfg, dataset)
+            id_map, segments = build_panoptic_output(
+                r["pan_map"], num_stuff, r["classes"], r["pan_keep"],
+                cfg.test.panoptic_stuff_area_limit, stuff_ids, thing_ids,
+            )
+            all_pans.append({"image_id": r["image_id"], "id_map": id_map,
+                             "segments": segments})
+            if logger and (i + 1) % 50 == 0:
+                logger.info("tta inference %d/%d", i + 1, n)
+        return _summarize(dataset, all_dets, all_segs, all_pans)
+
     for i in range(n):
         s = dataset.sample(i)
         bucket = tuple(s["images"].shape[:2])
@@ -158,15 +206,4 @@ def run_evaluation(cfg: Config, dataset, weights=None, logger=None,
         if logger and (i + 1) % 50 == 0:
             logger.info("inference %d/%d", i + 1, n)
 
-    results = {}
-    try:
-        results["boxes"] = dataset.evaluate_boxes(all_dets)
-        results["masks"] = dataset.evaluate_masks(all_dets)
-    except NotImplementedError:
-        pass
-    try:
-        results["ssegs"] = dataset.evaluate_ssegs(all_segs)
-        results["panoptic"] = dataset.evaluate_panoptic(all_pans)
-    except NotImplementedError:
-        pass
-    return results
+    return _summarize(dataset, all_dets, all_segs, all_pans)

@@ -45,9 +45,11 @@ class DeformConv(nn.Module):
     dilation: int = 1
     use_bias: bool = True
     dtype: Any = jnp.float32
-    # 'mxu': dense hat-matmul sampling (fast; exact for |dy| <= max_dy)
+    # 'pallas': VMEM hat-matmul kernel (fastest; exact for |dy| <= max_dy;
+    #           falls back to 'mxu' off-TPU or for unaligned shapes)
+    # 'mxu':    dense XLA hat-matmul sampling (exact for |dy| <= max_dy)
     # 'gather': unbounded-exact XLA gather path
-    impl: str = "mxu"
+    impl: str = "pallas"
     max_dy: int = 6
 
     @nn.compact
@@ -78,6 +80,13 @@ class DeformConv(nn.Module):
         )
         w = weight.astype(self.dtype)
         b = bias.astype(self.dtype) if bias is not None else None
+        if self.impl == "pallas":
+            from upsnet_tpu.ops.deform_conv_pallas import deform_conv2d_pallas
+
+            return deform_conv2d_pallas(
+                x.astype(self.dtype), offsets, w, b,
+                kernel_size=k, dilation=self.dilation, max_dy=self.max_dy,
+            )
         if self.impl == "mxu":
             return deform_conv2d_mxu(
                 x.astype(self.dtype), offsets, w, b,

@@ -18,6 +18,7 @@ to batch_rois, detections to max_det, GT to max_gt_instances.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, NamedTuple
 
 import jax
@@ -400,6 +401,26 @@ def _detection_nms(boxes_pc, scores_pc, cfg_test, num_classes: int):
     )
 
 
+def panoptic_fuse(seg_lg, boxes, classes, ms_logits, scores_i, valid_i,
+                  *, score_thresh: float, overlap_thresh: float,
+                  num_stuff: int):
+    """Single-image panoptic fusion (SURVEY.md §3.4): score filter ->
+    MaskRemoval de-overlap -> logit stack argmax. Boxes in image coords
+    (seg logits live at 1/4 scale). Also used standalone by multi-scale
+    TTA, which fuses averaged semantic logits with merged detections."""
+    seg_lg = seg_lg.astype(jnp.float32)
+    keep_score = valid_i & (scores_i >= score_thresh)
+    seg_hw = (seg_lg.shape[0], seg_lg.shape[1])
+    boxes_q = boxes * 0.25
+    pasted = pan_ops.mask_term(jax.nn.sigmoid(ms_logits), boxes_q, seg_hw)
+    keep = pan_ops.mask_removal(pasted, keep_score, overlap_thresh)
+    pan_map, _ = pan_ops.panoptic_argmax(
+        seg_lg, boxes_q, jnp.maximum(classes - 1, 0), ms_logits, keep,
+        num_stuff,
+    )
+    return pan_map, keep
+
+
 def forward_predict(model, params, cfg: Config, anchors, batch):
     """Inference. Returns a dict of padded, device-resident outputs."""
     tc, net, ds = cfg.test, cfg.network, cfg.dataset
@@ -458,23 +479,12 @@ def forward_predict(model, params, cfg: Config, anchors, batch):
     )[..., 0].reshape(bsz, d, net.mask_size, net.mask_size)
 
     # --- panoptic fusion at 1/4 scale (SURVEY.md §3.4) ---------------------
-    def fuse_one(seg_lg, boxes, classes, ms_logits, scores_i, valid_i):
-        seg_lg = seg_lg.astype(jnp.float32)
-        keep_score = valid_i & (scores_i >= tc.panoptic_score_thresh)
-        seg_hw = (seg_lg.shape[0], seg_lg.shape[1])
-        boxes_q = boxes * 0.25
-        pasted = pan_ops.mask_term(
-            jax.nn.sigmoid(ms_logits), boxes_q, seg_hw
-        )
-        keep = pan_ops.mask_removal(
-            pasted, keep_score, tc.panoptic_mask_overlap_thresh
-        )
-        pan_map, _ = pan_ops.panoptic_argmax(
-            seg_lg, boxes_q, jnp.maximum(classes - 1, 0), ms_logits, keep,
-            ds.num_stuff,
-        )
-        return pan_map, keep
-
+    fuse_one = functools.partial(
+        panoptic_fuse,
+        score_thresh=tc.panoptic_score_thresh,
+        overlap_thresh=tc.panoptic_mask_overlap_thresh,
+        num_stuff=ds.num_stuff,
+    )
     pan_map, pan_keep = jax.vmap(fuse_one)(
         fcn_logits, dets.boxes, dets.classes, mask_logits, dets.scores,
         dets.valid,

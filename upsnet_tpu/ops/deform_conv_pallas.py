@@ -194,7 +194,11 @@ def deform_conv2d_pallas(
     from upsnet_tpu.ops.deform_conv import deform_conv2d_mxu
 
     b, h, w, cin = x.shape
-    if h % RB != 0 or weight.shape[-1] % 128 != 0:
+    if (
+        jax.default_backend() not in ("tpu", "axon")
+        or h % RB != 0
+        or weight.shape[-1] % 128 != 0
+    ):
         return deform_conv2d_mxu(
             x, offsets, weight, bias, kernel_size, dilation, max_dy
         )
