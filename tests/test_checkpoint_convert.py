@@ -135,3 +135,63 @@ def test_torchvision_conversion_loads_into_model(tmp_path):
     np.testing.assert_allclose(
         got, conv_w(state["conv1.weight"].numpy()), rtol=1e-6
     )
+
+
+def test_coco_to_cityscapes_remap():
+    from upsnet_tpu.convert.finetune import remap_coco_params_to_cityscapes
+
+    rng = np.random.RandomState(0)
+    coco = {
+        "backbone_net": {"conv1": {"kernel": rng.randn(7, 7, 3, 64).astype(np.float32)}},
+        "box_head": {
+            "cls_score": {"kernel": rng.randn(32, 81).astype(np.float32),
+                          "bias": rng.randn(81).astype(np.float32)},
+            "bbox_pred": {"kernel": rng.randn(32, 324).astype(np.float32),
+                          "bias": rng.randn(324).astype(np.float32)},
+        },
+        "mask_head": {"mask_score": {
+            "kernel": rng.randn(1, 1, 8, 81).astype(np.float32),
+            "bias": rng.randn(81).astype(np.float32)}},
+        "fcn_head": {"score": {
+            "kernel": rng.randn(1, 1, 16, 133).astype(np.float32),
+            "bias": rng.randn(133).astype(np.float32)}},
+    }
+    city = {
+        "backbone_net": {"conv1": {"kernel": np.zeros((7, 7, 3, 64), np.float32)}},
+        "box_head": {
+            "cls_score": {"kernel": np.zeros((32, 9), np.float32),
+                          "bias": np.zeros(9, np.float32)},
+            "bbox_pred": {"kernel": np.zeros((32, 36), np.float32),
+                          "bias": np.zeros(36, np.float32)},
+        },
+        "mask_head": {"mask_score": {
+            "kernel": np.zeros((1, 1, 8, 9), np.float32),
+            "bias": np.zeros(9, np.float32)}},
+        "fcn_head": {"score": {
+            "kernel": np.zeros((1, 1, 16, 19), np.float32),
+            "bias": np.zeros(19, np.float32)}},
+    }
+    out = remap_coco_params_to_cityscapes(coco, city)
+    # backbone copied wholesale
+    np.testing.assert_array_equal(out["backbone_net"]["conv1"]["kernel"],
+                                  coco["backbone_net"]["conv1"]["kernel"])
+    # car: city label 3 <- coco label 3
+    np.testing.assert_array_equal(
+        out["box_head"]["cls_score"]["kernel"][:, 3],
+        coco["box_head"]["cls_score"]["kernel"][:, 3])
+    # rider: city label 2 <- coco person (label 1)
+    np.testing.assert_array_equal(
+        out["box_head"]["cls_score"]["kernel"][:, 2],
+        coco["box_head"]["cls_score"]["kernel"][:, 1])
+    # bbox blocks of 4: truck city 4 <- coco 8
+    np.testing.assert_array_equal(
+        out["box_head"]["bbox_pred"]["bias"][16:20],
+        coco["box_head"]["bbox_pred"]["bias"][32:36])
+    # semantic: city train id 11 (person) <- coco 53
+    np.testing.assert_array_equal(
+        out["fcn_head"]["score"]["kernel"][..., 11],
+        coco["fcn_head"]["score"]["kernel"][..., 53])
+    # background row copied
+    np.testing.assert_array_equal(
+        out["mask_head"]["mask_score"]["bias"][0],
+        coco["mask_head"]["mask_score"]["bias"][0])

@@ -22,6 +22,9 @@ def main():
     ap.add_argument("--max-steps", type=int, default=None)
     ap.add_argument("--dataset-override", default=None,
                     help="coco | cityscapes | synthetic")
+    ap.add_argument("--profile-dir", default=None,
+                    help="write a jax.profiler trace of the training loop "
+                         "here (view in TensorBoard)")
     args = ap.parse_args()
 
     from upsnet_tpu.utils.platform import honor_env_platform
@@ -53,8 +56,10 @@ def main():
         dataset = SyntheticDataset(cfg, num_images=64, training=True)
 
     from upsnet_tpu.train.trainer import train
+    from upsnet_tpu.utils.profiling import trace
 
-    train(cfg, dataset, logger=logger, max_steps=args.max_steps)
+    with trace(args.profile_dir):
+        train(cfg, dataset, logger=logger, max_steps=args.max_steps)
 
 
 if __name__ == "__main__":
