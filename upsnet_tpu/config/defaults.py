@@ -41,6 +41,11 @@ class NetworkConfig:
     fcn_num_layers: int = 2  # stacked 3x3 deformable convs per level
     fcn_with_dcn: bool = True
     fcn_shared_subnet: bool = True
+    # deformable conv implementation: 'pallas' | 'mxu' (both exact for
+    # |dy| <= dcn_max_dy, offsets clipped to the window) | 'gather'
+    # (unbounded-exact; use for from-scratch training stability)
+    dcn_impl: str = "pallas"
+    dcn_max_dy: int = 6
     has_fcn_head: bool = True
     has_rpn: bool = True
     has_rcnn: bool = True
@@ -82,6 +87,12 @@ class TrainConfig:
     rpn_fg_fraction: float = 0.5
     rpn_positive_overlap: float = 0.7
     rpn_negative_overlap: float = 0.3
+    # anchors extending beyond the image border by more than this are
+    # excluded from RPN training (Detectron rpn_straddle_thresh; 0 matches
+    # the reference). Set very large to supervise ALL anchors — needed for
+    # from-scratch training on small images where whole pyramid levels
+    # would otherwise stay untrained and flood eval-time proposals.
+    rpn_straddle_thresh: float = 0.0
     # RoI sampling (ProposalMaskTarget)
     batch_rois: int = 512
     fg_fraction: float = 0.25

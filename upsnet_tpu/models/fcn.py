@@ -30,6 +30,8 @@ class FCNSubNet(nn.Module):
     channels: int = 128
     num_layers: int = 2
     with_dcn: bool = True
+    dcn_impl: str = "pallas"
+    dcn_max_dy: int = 6
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -37,6 +39,7 @@ class FCNSubNet(nn.Module):
         for i in range(self.num_layers):
             if self.with_dcn:
                 x = DeformConv(self.channels, 3, dtype=self.dtype,
+                               impl=self.dcn_impl, max_dy=self.dcn_max_dy,
                                name=f"dcn{i + 1}")(x)
             else:
                 x = conv(self.channels, 3, use_bias=True, dtype=self.dtype,
@@ -51,6 +54,8 @@ class FCNHead(nn.Module):
     num_layers: int = 2
     with_dcn: bool = True
     shared_subnet: bool = True
+    dcn_impl: str = "pallas"
+    dcn_max_dy: int = 6
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -60,6 +65,7 @@ class FCNHead(nn.Module):
         feats = []
         shared = (
             FCNSubNet(self.channels, self.num_layers, self.with_dcn,
+                      self.dcn_impl, self.dcn_max_dy,
                       dtype=self.dtype, name="subnet")
             if self.shared_subnet
             else None
@@ -67,6 +73,7 @@ class FCNHead(nn.Module):
         for i, p in enumerate(pyramid, start=2):
             net = shared if shared is not None else FCNSubNet(
                 self.channels, self.num_layers, self.with_dcn,
+                self.dcn_impl, self.dcn_max_dy,
                 dtype=self.dtype, name=f"subnet{i}")
             f = net(p)
             if f.shape[1:3] != out_hw:

@@ -39,6 +39,8 @@ class Bottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     with_dcn: bool = False
+    dcn_impl: str = "pallas"
+    dcn_max_dy: int = 6
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -56,6 +58,7 @@ class Bottleneck(nn.Module):
         y = nn.relu(y)
         if self.with_dcn:
             y = DeformConv(self.features, 3, use_bias=False, dtype=self.dtype,
+                           impl=self.dcn_impl, max_dy=self.dcn_max_dy,
                            name="conv2")(y)
         else:
             y = conv(self.features, 3, 1, dtype=self.dtype, name="conv2")(y)
@@ -71,6 +74,8 @@ class ResNetBackbone(nn.Module):
 
     depth: str = "resnet50"
     dcn_stages: Sequence[int] = ()  # stage indices in {3, 4, 5}
+    dcn_impl: str = "pallas"
+    dcn_max_dy: int = 6
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -92,6 +97,8 @@ class ResNetBackbone(nn.Module):
                     stride=2 if (b == 0 and stage_i > 2) else 1,
                     downsample=(b == 0),
                     with_dcn=(stage_i in self.dcn_stages),
+                    dcn_impl=self.dcn_impl,
+                    dcn_max_dy=self.dcn_max_dy,
                     dtype=self.dtype,
                     name=f"res{stage_i}_{b}",
                 )(x)

@@ -55,11 +55,15 @@ class UPSNetModule(nn.Module):
     fcn_num_layers: int = 2
     fcn_with_dcn: bool = True
     fcn_shared_subnet: bool = True
+    dcn_impl: str = "pallas"
+    dcn_max_dy: int = 6
     dtype: Any = jnp.float32
 
     def setup(self):
         self.backbone_net = ResNetBackbone(
-            depth=self.backbone, dcn_stages=self.dcn_stages, dtype=self.dtype
+            depth=self.backbone, dcn_stages=self.dcn_stages,
+            dcn_impl=self.dcn_impl, dcn_max_dy=self.dcn_max_dy,
+            dtype=self.dtype,
         )
         self.fpn = FPN(self.fpn_dim, dtype=self.dtype)
         self.rpn = RPNHead(self.num_anchors, self.fpn_dim, dtype=self.dtype)
@@ -71,6 +75,8 @@ class UPSNetModule(nn.Module):
             self.fcn_num_layers,
             self.fcn_with_dcn,
             self.fcn_shared_subnet,
+            self.dcn_impl,
+            self.dcn_max_dy,
             dtype=self.dtype,
         )
 
@@ -111,6 +117,8 @@ def build_model(cfg: Config) -> UPSNetModule:
         fcn_num_layers=net.fcn_num_layers,
         fcn_with_dcn=net.fcn_with_dcn,
         fcn_shared_subnet=net.fcn_shared_subnet,
+        dcn_impl=net.dcn_impl,
+        dcn_max_dy=net.dcn_max_dy,
         dtype=jnp.dtype(net.compute_dtype),
     )
 
@@ -201,6 +209,7 @@ def forward_train(model, params, cfg: Config, anchors, batch, key):
             fg_fraction=tc.rpn_fg_fraction,
             positive_overlap=tc.rpn_positive_overlap,
             negative_overlap=tc.rpn_negative_overlap,
+            straddle_thresh=tc.rpn_straddle_thresh,
         )
     )(keys[0], batch["gt_boxes"], batch["gt_valid"], batch["im_hw"])
     loss_rpn_cls = L.rpn_cls_loss(

@@ -242,6 +242,12 @@ def deform_conv2d_mxu(
     y = jnp.dot(x.reshape(-1, cin), wk, preferred_element_type=x.dtype)
     y = y.reshape(b, h, w, k, cout)
 
+    # clip vertical offsets into the reachable window: out-of-range offsets
+    # sample the window edge instead of silently contributing zero (closer
+    # to the reference's far sample; trained checkpoints stay unclipped)
+    off_y = jnp.clip(offsets[..., 0::2], -float(max_dy), float(max_dy))
+    off_x = offsets[..., 1::2]
+
     iy = jnp.arange(h, dtype=offsets.dtype)[None, :, None]
     ix = jnp.arange(w, dtype=offsets.dtype)[None, None, :]
     # padded column centers at coordinate (col - 1): support [-1, w]
@@ -256,8 +262,8 @@ def deform_conv2d_mxu(
             y[:, :, :, tap],
             ((0, 0), (pad_rows, pad_rows), (1, 1), (0, 0)),
         )  # (b, h + 2*pad_rows, w + 2, cout)
-        sy = iy + dbase + offsets[..., 2 * tap]
-        sx = ix + (kw - half) * dilation + offsets[..., 2 * tap + 1]
+        sy = iy + dbase + off_y[..., tap]
+        sx = ix + (kw - half) * dilation + off_x[..., tap]
         inside = (sy > -1.0) & (sy < h) & (sx > -1.0) & (sx < w)
         vx = jnp.maximum(1.0 - jnp.abs(sx[..., None] - cols), 0.0)
         vx = (vx * inside[..., None]).astype(x.dtype)  # (b, h, w, w+2)

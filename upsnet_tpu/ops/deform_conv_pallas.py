@@ -224,7 +224,13 @@ def deform_conv2d_pallas(
             y[:, :, :, tap],
             ((0, 0), (pad_rows, pad_rows), (1, wp - w - 1), (0, 0)),
         )
-        sy = iy + (kh - half) * dilation + offsets[..., 2 * tap].astype(jnp.float32)
+        # vertical offsets clipped into the reachable window (see
+        # deform_conv2d_mxu): edge sample instead of silent zero
+        dy = jnp.clip(
+            offsets[..., 2 * tap].astype(jnp.float32),
+            -float(max_dy), float(max_dy),
+        )
+        sy = iy + (kh - half) * dilation + dy
         sx = ix + (kw - half) * dilation + offsets[..., 2 * tap + 1].astype(jnp.float32)
         out = out + deform_sample(y_pad, sy, sx, r_eff)
     if bias is not None:
