@@ -46,6 +46,9 @@ class NetworkConfig:
     # (unbounded-exact; use for from-scratch training stability)
     dcn_impl: str = "pallas"
     dcn_max_dy: int = 6
+    # backbone norm: 'frozen_bn' (reference; needs pretrained stats) or
+    # 'gn' (GroupNorm; trainable, stable from scratch)
+    norm: str = "frozen_bn"
     has_fcn_head: bool = True
     has_rpn: bool = True
     has_rcnn: bool = True

@@ -32,6 +32,23 @@ class FrozenBatchNorm(nn.Module):
         return x.astype(self.dtype) * scale + bias
 
 
+def make_norm(kind: str, dtype, name: str):
+    """Backbone norm factory.
+
+    'frozen_bn' (reference behavior: affine constants from pretrained
+    stats) or 'gn' (GroupNorm 32 — enables stable from-scratch training,
+    which frozen-identity affines cannot: activations double per residual
+    block and ReLUs die). Param names (scale/bias) match, so the converter
+    and checkpoints are layout-compatible.
+    """
+    if kind == "gn":
+        return nn.GroupNorm(
+            num_groups=32, epsilon=1e-5, dtype=dtype,
+            param_dtype=jnp.float32, name=name,
+        )
+    return FrozenBatchNorm(dtype=dtype, name=name)
+
+
 class DeformConv(nn.Module):
     """Deformable 3x3 conv: a plain conv (zero-initialized, reference
     behavior) predicts the offset field; the deformable kernel consumes it.

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from upsnet_tpu.models.layers import DeformConv, FrozenBatchNorm, conv
+from upsnet_tpu.models.layers import DeformConv, FrozenBatchNorm, conv, make_norm
 
 STAGE_BLOCKS = {
     "resnet50": (3, 4, 6, 3),
@@ -41,6 +41,7 @@ class Bottleneck(nn.Module):
     with_dcn: bool = False
     dcn_impl: str = "pallas"
     dcn_max_dy: int = 6
+    norm: str = "frozen_bn"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -51,10 +52,10 @@ class Bottleneck(nn.Module):
             residual = conv(
                 out_ch, 1, self.stride, dtype=self.dtype, name="shortcut_conv"
             )(x)
-            residual = FrozenBatchNorm(dtype=self.dtype, name="shortcut_bn")(residual)
+            residual = make_norm(self.norm, self.dtype, "shortcut_bn")(residual)
         # caffe ResNet v1: stride on the first 1x1
         y = conv(self.features, 1, self.stride, dtype=self.dtype, name="conv1")(x)
-        y = FrozenBatchNorm(dtype=self.dtype, name="bn1")(y)
+        y = make_norm(self.norm, self.dtype, "bn1")(y)
         y = nn.relu(y)
         if self.with_dcn:
             y = DeformConv(self.features, 3, use_bias=False, dtype=self.dtype,
@@ -62,10 +63,10 @@ class Bottleneck(nn.Module):
                            name="conv2")(y)
         else:
             y = conv(self.features, 3, 1, dtype=self.dtype, name="conv2")(y)
-        y = FrozenBatchNorm(dtype=self.dtype, name="bn2")(y)
+        y = make_norm(self.norm, self.dtype, "bn2")(y)
         y = nn.relu(y)
         y = conv(out_ch, 1, 1, dtype=self.dtype, name="conv3")(y)
-        y = FrozenBatchNorm(dtype=self.dtype, name="bn3")(y)
+        y = make_norm(self.norm, self.dtype, "bn3")(y)
         return nn.relu(y + residual)
 
 
@@ -76,6 +77,7 @@ class ResNetBackbone(nn.Module):
     dcn_stages: Sequence[int] = ()  # stage indices in {3, 4, 5}
     dcn_impl: str = "pallas"
     dcn_max_dy: int = 6
+    norm: str = "frozen_bn"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -83,7 +85,7 @@ class ResNetBackbone(nn.Module):
         blocks = STAGE_BLOCKS[self.depth]
         x = x.astype(self.dtype)
         x = conv(64, 7, 2, dtype=self.dtype, name="conv1")(x)
-        x = FrozenBatchNorm(dtype=self.dtype, name="bn1")(x)
+        x = make_norm(self.norm, self.dtype, "bn1")(x)
         x = nn.relu(x)
         # 3x3 stride-2 max pool, padding 1 (torch/caffe semantics)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
@@ -99,6 +101,7 @@ class ResNetBackbone(nn.Module):
                     with_dcn=(stage_i in self.dcn_stages),
                     dcn_impl=self.dcn_impl,
                     dcn_max_dy=self.dcn_max_dy,
+                    norm=self.norm,
                     dtype=self.dtype,
                     name=f"res{stage_i}_{b}",
                 )(x)

@@ -57,13 +57,14 @@ class UPSNetModule(nn.Module):
     fcn_shared_subnet: bool = True
     dcn_impl: str = "pallas"
     dcn_max_dy: int = 6
+    norm: str = "frozen_bn"
     dtype: Any = jnp.float32
 
     def setup(self):
         self.backbone_net = ResNetBackbone(
             depth=self.backbone, dcn_stages=self.dcn_stages,
             dcn_impl=self.dcn_impl, dcn_max_dy=self.dcn_max_dy,
-            dtype=self.dtype,
+            norm=self.norm, dtype=self.dtype,
         )
         self.fpn = FPN(self.fpn_dim, dtype=self.dtype)
         self.rpn = RPNHead(self.num_anchors, self.fpn_dim, dtype=self.dtype)
@@ -119,6 +120,7 @@ def build_model(cfg: Config) -> UPSNetModule:
         fcn_shared_subnet=net.fcn_shared_subnet,
         dcn_impl=net.dcn_impl,
         dcn_max_dy=net.dcn_max_dy,
+        norm=net.norm,
         dtype=jnp.dtype(net.compute_dtype),
     )
 

@@ -35,7 +35,8 @@ def lr_schedule(cfg: Config) -> optax.Schedule:
     return sched
 
 
-def _param_labels(params, frozen_stages: Sequence[int]) -> dict:
+def _param_labels(params, frozen_stages: Sequence[int],
+                  freeze_norm: bool = True) -> dict:
     """Label tree: 'frozen' | 'bias' | 'weight'.
 
     Frozen: backbone conv1/bn1 and res2 blocks (reference freezes conv1+res2)
@@ -52,8 +53,12 @@ def _param_labels(params, frozen_stages: Sequence[int]) -> dict:
         p = "/".join(str(k.key) for k in path)
         if any(p.startswith(fp) for fp in frozen_prefixes):
             return "frozen"
-        if "bn" in p.split("/")[-2:-1] or p.endswith("/scale"):
+        if freeze_norm and (
+            "bn" in p.split("/")[-2:-1] or p.endswith("/scale")
+        ):
             return "frozen"  # FrozenBatchNorm affines never train
+        if not freeze_norm and p.endswith("/scale"):
+            return "bias"  # GN affines: no weight decay (common practice)
         if p.endswith("/bias"):
             return "bias"
         return "weight"
@@ -77,7 +82,10 @@ def make_optimizer(cfg: Config, params) -> optax.GradientTransformation:
             ),
         )
 
-    labels = _param_labels(params, cfg.network.frozen_stages)
+    labels = _param_labels(
+        params, cfg.network.frozen_stages,
+        freeze_norm=cfg.network.norm == "frozen_bn",
+    )
     tx = optax.multi_transform(
         {
             "weight": sgd(1.0, tc.wd),
