@@ -125,6 +125,10 @@ class TrainConfig:
     display_iter: int = 20
     resume: bool = False
     begin_iteration: int = 0
+    # rematerialize the dense trunk in backward (jax.checkpoint): trades
+    # ~25% step time for the trunk's activation memory, enabling larger
+    # per-chip batches (b8 train OOMs without it on 16G HBM)
+    remat: bool = True
     # TPU-specific static shapes
     # Images are bucketed/padded to these (H, W) shapes (multiples of 64).
     image_buckets: Tuple[Tuple[int, int], ...] = ((832, 1344), (1344, 832))

@@ -195,9 +195,10 @@ def forward_train(model, params, cfg: Config, anchors, batch, key):
     tc, net, ds = cfg.train, cfg.network, cfg.dataset
     images = batch["images"]
     bsz = images.shape[0]
-    pyramid, rpn_cls, rpn_bbox, fcn_logits = model.apply(
-        {"params": params}, images, method="extract"
-    )
+    extract = lambda p, im: model.apply({"params": p}, im, method="extract")
+    if tc.remat:
+        extract = jax.checkpoint(extract)
+    pyramid, rpn_cls, rpn_bbox, fcn_logits = extract(params, images)
     cls_flat, bbox_flat = _flatten_rpn(rpn_cls, rpn_bbox)
     anchors_cat = jnp.concatenate(anchors, axis=0)
 
