@@ -161,10 +161,14 @@ def run_evaluation(cfg: Config, dataset, weights=None, logger=None,
     use_tta = bool(cfg.test.multi_scale) or cfg.test.flip_test
     all_dets, all_segs, all_pans = [], [], []
     n = len(dataset) if max_images is None else min(max_images, len(dataset))
+    # multi-host eval: shard images across processes; each host evaluates
+    # its shard (the reference gathers via the filesystem, SURVEY.md §5.8 —
+    # callers merge per-host result dicts the same way)
+    shard = range(jax.process_index(), n, jax.process_count())
     if use_tta:
         from upsnet_tpu.evaluation.tta import predict_image_tta
 
-        for i in range(n):
+        for i in shard:
             r = predict_image_tta(cfg, dataset, i, params, predict_by_bucket)
             oh, ow = r["orig_hw"]
             for b, s_, c, m in zip(
@@ -190,7 +194,7 @@ def run_evaluation(cfg: Config, dataset, weights=None, logger=None,
                 logger.info("tta inference %d/%d", i + 1, n)
         return _summarize(dataset, all_dets, all_segs, all_pans)
 
-    for i in range(n):
+    for i in shard:
         s = dataset.sample(i)
         bucket = tuple(s["images"].shape[:2])
         batch = {

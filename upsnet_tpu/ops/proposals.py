@@ -51,7 +51,10 @@ def _level_proposals(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pre_nms_top_n", "post_nms_top_n", "nms_thresh", "min_size"),
+    static_argnames=(
+        "pre_nms_top_n", "post_nms_top_n", "nms_thresh", "min_size",
+        "joint_nms_cap",
+    ),
 )
 def pyramid_proposals(
     cls_logits: tuple[jnp.ndarray, ...],  # per level (H, W, A*2)
@@ -62,8 +65,14 @@ def pyramid_proposals(
     post_nms_top_n: int = 1000,
     nms_thresh: float = 0.7,
     min_size: float = 0.0,
+    joint_nms_cap: int = 4096,
 ):
     """Single-image proposal generation.
+
+    joint_nms_cap bounds the box set entering the cross-level NMS (the
+    O(N^2) suppression matrix): the train config's 2000/level x 5 levels
+    would need a 310MB IoU matrix per image; candidates ranked below ~4096
+    essentially never reach the post-NMS top-1000. Set 0 to disable.
 
     Returns (rois (post_nms_top_n, 4), scores (post_nms_top_n,), valid bool).
     vmap over the batch axis for batched use.
@@ -75,6 +84,9 @@ def pyramid_proposals(
         all_scores.append(s)
     boxes = jnp.concatenate(all_boxes, axis=0)
     scores = jnp.concatenate(all_scores, axis=0)
+    if joint_nms_cap and boxes.shape[0] > joint_nms_cap:
+        scores, idx = jax.lax.top_k(scores, joint_nms_cap)
+        boxes = boxes[idx]
     valid = jnp.isfinite(scores)
     idx, keep = nms_padded(boxes, scores, nms_thresh, post_nms_top_n, valid)
     safe = jnp.maximum(idx, 0)
