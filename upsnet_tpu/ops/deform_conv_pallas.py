@@ -194,10 +194,20 @@ def deform_conv2d_pallas(
     from upsnet_tpu.ops.deform_conv import deform_conv2d_mxu
 
     b, h, w, cin = x.shape
+    cout_ = weight.shape[-1]
+    # VMEM budget check: wmat (w, a_n*wp) + window + out must fit ~16MB
+    a_n_ = 2 * (max_dy + dilation) + 3
+    wp_ = _round_up(w + 2, 128)
+    vmem_est = (
+        w * a_n_ * wp_ * 2  # wmat bf16
+        + (RB + 2 * (max_dy + dilation) + 2) * wp_ * cout_ * 2  # window
+        + RB * w * cout_ * 4  # out block
+    )
     if (
         jax.default_backend() not in ("tpu", "axon")
         or h % RB != 0
-        or weight.shape[-1] % 128 != 0
+        or cout_ % 128 != 0
+        or vmem_est > 13 * 1024 * 1024
     ):
         return deform_conv2d_mxu(
             x, offsets, weight, bias, kernel_size, dilation, max_dy

@@ -77,6 +77,7 @@ def train(cfg: Config, dataset, logger=None, max_steps: int | None = None,
 
     start_iter = cfg.train.begin_iteration
     ckpt_dir = os.path.join(cfg.output_path, cfg.symbol, "checkpoints")
+    os.makedirs(ckpt_dir, exist_ok=True)
     if cfg.train.resume:
         latest = latest_checkpoint(ckpt_dir)
         if latest:
@@ -115,7 +116,15 @@ def train(cfg: Config, dataset, logger=None, max_steps: int | None = None,
             )
             msg = " ".join(f"{k}={m.avg:.4f}" for k, m in sorted(meters.items()))
             logger.info("iter %d (%.2f img/s): %s", it, rate, msg)
-            history.append({k: m.avg for k, m in meters.items()} | {"iter": it})
+            entry = {k: m.avg for k, m in meters.items()} | {
+                "iter": it, "images_per_sec": rate,
+            }
+            history.append(entry)
+            # structured metrics stream (tail -f / plotting friendly)
+            with open(os.path.join(ckpt_dir, "..", "metrics.jsonl"), "a") as f:
+                import json
+
+                f.write(json.dumps(entry) + "\n")
             for m in meters.values():
                 m.reset()
             t0 = time.time()
