@@ -97,7 +97,9 @@ def test_dp_matches_single_device_loss():
     # fold_in per-image keys differ across batch slots, so fix randomness by
     # comparing the loss metric computed from identical per-slot keys is not
     # possible; instead check that the DP step produces finite, close loss.
-    _, _, m1 = step1(params, ost, {k: jnp.asarray(v) for k, v in b1.items()},
+    # NOTE: the train step donates params/opt_state — pass fresh copies.
+    p1, o1 = jax.tree.map(jnp.copy, (params, ost))
+    _, _, m1 = step1(p1, o1, {k: jnp.asarray(v) for k, v in b1.items()},
                      jax.random.PRNGKey(5))
     _, _, m8 = step8(params, ost, shard_batch(mesh, b8), jax.random.PRNGKey(5))
     assert np.isfinite(float(m1["total"])) and np.isfinite(float(m8["total"]))
