@@ -294,16 +294,20 @@ def forward_train(model, params, cfg: Config, anchors, batch, key):
     )
 
     # --- semantic head ----------------------------------------------------
-    loss_seg = L.seg_loss(fcn_logits, batch["seg_gt"])
-    if tc.fcn_with_roi_loss:
+    loss_seg = (
+        L.seg_loss(fcn_logits, batch["seg_gt"])
+        if net.has_fcn_head
+        else jnp.asarray(0.0)
+    )
+    if net.has_fcn_head and tc.fcn_with_roi_loss:
         roi_seg = jax.vmap(
             lambda lg, gt, gb, gv: L.seg_roi_loss(lg, gt, gb * 0.25, gv)
         )(fcn_logits, batch["seg_gt"], batch["gt_boxes"], batch["gt_valid"])
         loss_seg = loss_seg + tc.fcn_roi_loss_weight * jnp.mean(roi_seg)
 
     # --- panoptic head (teacher-forced: GT boxes/classes + predicted
-    # mask logits, SURVEY.md §3.3) ----------------------------------------
-    if net.has_panoptic_head:
+    # mask logits, SURVEY.md §3.3; requires the semantic head) -------------
+    if net.has_panoptic_head and net.has_fcn_head:
         g = batch["gt_boxes"].shape[1]
         pooled_gt = _pool_boxes(pyramid, batch["gt_boxes"], net.pooled_size_mask)
         gt_mask_logits = model.apply(
