@@ -130,14 +130,107 @@ def _sample_pallas(y_pad, sy, sx, max_dy: int):
     )(sy, sx, y_pad)
 
 
-def _sample_ref(y_pad, sy, sx, max_dy: int):
+CT = 256  # output columns per program in the column-tiled kernel
+CTW = 384  # source-column window (CT + 2*max_dx + 4, rounded to 128)
+
+
+def _sample_kernel_tiled(sy_ref, sx_ref, y_hbm, out_ref, win, wmat_t, sem, *,
+                         h: int, w: int, c: int, r: int, max_dx: int):
+    """Column-tiled variant: grid (batch, row blocks, col blocks).
+
+    Same math as _sample_kernel, but each program covers CT output columns
+    and DMAs only its (win_rows, CTW) source window — VMEM stays bounded
+    for arbitrarily wide inputs (Cityscapes 512+, multi-scale 1024-wide
+    quarter-res maps). Requires |dx| <= max_dx (offsets are pre-clipped in
+    the wrapper, mirroring the vertical clamp).
+    """
+    rb_idx = pl.program_id(1)
+    cb_idx = pl.program_id(2)
+    i0 = rb_idx * RB
+    c0 = cb_idx * CT
+    a_n = 2 * r + 3
+    win_rows = RB + 2 * r + 2
+
+    b_idx = pl.program_id(0)
+    dma = pltpu.make_async_copy(
+        y_hbm.at[b_idx, pl.ds(i0 + 1, win_rows), pl.ds(c0, CTW)], win, sem
+    )
+    dma.start()
+
+    # window col q holds global column coordinate c0 + q - (max_dx + 2)
+    cols_t = (
+        jax.lax.broadcasted_iota(jnp.int32, (CTW, CT), 0).astype(jnp.float32)
+        + jnp.float32(c0 * 1.0)
+        - (max_dx + 2.0)
+    )
+    dma.wait()
+
+    for li in range(RB):
+        sy_r = sy_ref[0, li:li + 1, :]  # (1, CT)
+        sx_r = sx_ref[0, li:li + 1, :]
+        inside = (
+            (sy_r > -1.0) & (sy_r < float(h))
+            & (sx_r > -1.0) & (sx_r < float(w))
+        )
+        vx_t = jnp.maximum(1.0 - jnp.abs(sx_r - cols_t), 0.0)  # (CTW, CT)
+        vx_t = jnp.where(inside, vx_t, 0.0)
+        i_glob = jnp.float32(i0 * 1.0) + li
+        for a in range(a_n):
+            vy = jnp.maximum(
+                1.0 - jnp.abs(sy_r - (i_glob + (a - (r + 1)))), 0.0
+            )
+            wmat_t[pl.ds(a * CTW, CTW), :] = (vy * vx_t).astype(wmat_t.dtype)
+        x = win[pl.ds(li, a_n)].reshape(a_n * CTW, c)
+        out_ref[0, li] = jax.lax.dot_general(
+            wmat_t[:], x,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("max_dy", "max_dx"))
+def _sample_pallas_tiled(y_pad, sy, sx, max_dy: int, max_dx: int):
+    """Column-tiled sampling. y_pad (B, Hpad, w + CTW - CT + left/right
+    padding laid out by the wrapper, C); w % CT == 0."""
+    b, hpad, wp2, c = y_pad.shape
+    _, h, w = sy.shape
+    r = max_dy
+    assert h % RB == 0 and w % CT == 0, (h, w)
+    kernel = functools.partial(
+        _sample_kernel_tiled, h=h, w=w, c=c, r=r, max_dx=max_dx
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h // RB, w // CT),
+        in_specs=[
+            pl.BlockSpec((1, RB, CT), lambda bi, ri, ci: (bi, ri, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RB, CT), lambda bi, ri, ci: (bi, ri, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, RB, CT, c), lambda bi, ri, ci: (bi, ri, ci, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), y_pad.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((RB + 2 * r + 2, CTW, c), y_pad.dtype),
+            pltpu.VMEM(((2 * r + 3) * CTW, CT), y_pad.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(sy, sx, y_pad)
+
+
+def _sample_ref(y_pad, sy, sx, max_dy: int, col_off: int = 1):
     """jnp reference of the same hat-sampling math (used for the VJP and
-    for interpret-mode equivalence tests)."""
+    for interpret-mode equivalence tests). col_off = number of left pad
+    columns (1 untiled, max_dx + 2 tiled)."""
     b, hpad, wp, c = y_pad.shape
     _, h, w = sy.shape
     r = max_dy
     iy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
-    cols = jnp.arange(wp, dtype=jnp.float32) - 1.0
+    cols = jnp.arange(wp, dtype=jnp.float32) - float(col_off)
     inside = (sy > -1.0) & (sy < h) & (sx > -1.0) & (sx < w)
     vx = jnp.maximum(1.0 - jnp.abs(sx[..., None] - cols), 0.0)
     vx = vx * inside[..., None].astype(vx.dtype)
@@ -173,6 +266,27 @@ def _bwd(max_dy, res, g):
 deform_sample.defvjp(_fwd, _bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def deform_sample_tiled(y_pad, sy, sx, max_dy: int, max_dx: int):
+    return _sample_pallas_tiled(y_pad, sy, sx, max_dy, max_dx)
+
+
+def _fwd_t(y_pad, sy, sx, max_dy, max_dx):
+    return _sample_pallas_tiled(y_pad, sy, sx, max_dy, max_dx), (y_pad, sy, sx)
+
+
+def _bwd_t(max_dy, max_dx, res, g):
+    y_pad, sy, sx = res
+    _, vjp = jax.vjp(
+        lambda a, b_, c_: _sample_ref(a, b_, c_, max_dy, col_off=max_dx + 2),
+        y_pad, sy, sx,
+    )
+    return vjp(g)
+
+
+deform_sample_tiled.defvjp(_fwd_t, _bwd_t)
+
+
 @functools.partial(
     jax.jit, static_argnames=("kernel_size", "dilation", "max_dy")
 )
@@ -203,8 +317,21 @@ def deform_conv2d_pallas(
         + (RB + 2 * (max_dy + dilation) + 2) * wp_ * cout_ * 2  # window
         + RB * w * cout_ * 4  # out block
     )
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    max_dx = min(max_dy, (CTW - CT - 4) // 2)
     if (
-        jax.default_backend() not in ("tpu", "axon")
+        on_tpu
+        and h % RB == 0
+        and cout_ % 128 == 0
+        and vmem_est > 13 * 1024 * 1024
+        and w % CT == 0
+    ):
+        # wide inputs (Cityscapes 512+): column-tiled kernel, |dx| clipped
+        return _deform_conv2d_pallas_tiled(
+            x, offsets, weight, bias, kernel_size, dilation, max_dy, max_dx
+        )
+    if (
+        not on_tpu
         or h % RB != 0
         or cout_ % 128 != 0
         or vmem_est > 13 * 1024 * 1024
@@ -243,6 +370,46 @@ def deform_conv2d_pallas(
         sy = iy + (kh - half) * dilation + dy
         sx = ix + (kw - half) * dilation + offsets[..., 2 * tap + 1].astype(jnp.float32)
         out = out + deform_sample(y_pad, sy, sx, r_eff)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def _deform_conv2d_pallas_tiled(x, offsets, weight, bias, kernel_size,
+                                dilation, max_dy, max_dx):
+    """Column-tiled variant for wide inputs; |dy| <= max_dy and
+    |dx| <= max_dx (both clipped to the window edge)."""
+    b, h, w, cin = x.shape
+    k = kernel_size * kernel_size
+    cout = weight.shape[-1]
+    half = (kernel_size - 1) // 2
+
+    wk = jnp.moveaxis(weight, 0, 1).reshape(cin, k * cout).astype(x.dtype)
+    y = jnp.dot(x.reshape(-1, cin), wk, preferred_element_type=x.dtype)
+    y = y.reshape(b, h, w, k, cout)
+    r_eff = max_dy + dilation
+    dx_eff = max_dx + dilation
+    pad_rows = r_eff + 2
+    left = dx_eff + 2
+    right = (CTW - CT) - left
+    assert right >= dx_eff + 2, (right, dx_eff)
+
+    off_y = jnp.clip(offsets[..., 0::2].astype(jnp.float32),
+                     -float(max_dy), float(max_dy))
+    off_x = jnp.clip(offsets[..., 1::2].astype(jnp.float32),
+                     -float(max_dx), float(max_dx))
+    iy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    ix = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    out = jnp.zeros((b, h, w, cout), dtype=x.dtype)
+    for tap in range(k):
+        kh, kw = divmod(tap, kernel_size)
+        y_pad = jnp.pad(
+            y[:, :, :, tap],
+            ((0, 0), (pad_rows, pad_rows), (left, right), (0, 0)),
+        )
+        sy = iy + (kh - half) * dilation + off_y[..., tap]
+        sx = ix + (kw - half) * dilation + off_x[..., tap]
+        out = out + deform_sample_tiled(y_pad, sy, sx, r_eff, dx_eff)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
