@@ -15,11 +15,11 @@ Layout conversions:
 
 Name mapping covers two source schemes:
   * torchvision ResNet ("conv1.weight", "layer1.0.conv1.weight", ...)
-    for ImageNet backbone init;
-  * UPSNet naming ("resnet_backbone.res2.0...", "fpn.*", "rcnn.*", ...)
-    via a configurable prefix table — to be refined against the real
-    released checkpoints once available (reference mount was empty;
-    SURVEY.md §0).
+    for ImageNet backbone init (backbone subtree only, by design);
+  * full UPSNet naming ("resnet_backbone.res2.0...", "fpn.fpn_p2_1x1",
+    "rcnn.fc6", "mask_branch.*", "fcn_head.*") via the declarative spec
+    table in convert/upsnet_names.py — strict both ways (every target
+    leaf fed, every source key consumed, else ConversionError).
 """
 
 from __future__ import annotations
@@ -42,7 +42,10 @@ def conv_w(t):  # OIHW -> HWIO
 
 
 def deconv_w(t):  # torch ConvTranspose2d (in, out, kh, kw) -> HWIO (flax)
-    return np.transpose(np.asarray(t, np.float32), (2, 3, 0, 1))
+    # torch scatters out[s*i+di] += in[i] * w[..., di]; flax ConvTranspose
+    # is an lhs-dilated conv with no kernel flip, so the taps must be
+    # spatially reversed (verified vs torch in tests/test_upsnet_convert.py)
+    return np.transpose(np.asarray(t, np.float32), (2, 3, 0, 1))[::-1, ::-1]
 
 
 def dense_w(t):  # (out, in) -> (in, out)
@@ -110,29 +113,64 @@ def load_torch_state(path: str) -> dict:
     }
 
 
-def load_pretrained(path: str, params: dict, logger=None) -> dict:
+def load_pretrained(path: str, params: dict, logger=None, *,
+                    strict: bool = True) -> dict:
     """Merge a torch checkpoint into an initialized param tree.
 
-    Currently supports torchvision-style ResNet names for the backbone;
-    unknown keys are reported and skipped.
+    Dispatch on the source naming scheme:
+      * full UPSNet state_dict -> convert/upsnet_names.py strict converter
+        (every target param fed, every source key consumed, or raise);
+      * torchvision ResNet -> backbone subtree only (ImageNet init; heads
+        stay at their random init — that is the point of ImageNet init).
+
+    ``strict=False`` downgrades conversion errors to a logged report (for
+    exploratory loading only; parity runs must stay strict).
     """
     state = load_torch_state(path)
+    from upsnet_tpu.convert.upsnet_names import (
+        convert_upsnet_state,
+        looks_like_upsnet,
+    )
+
+    if looks_like_upsnet(state):
+        merged, report = convert_upsnet_state(state, params, strict=strict)
+        if logger:
+            logger.info(
+                "UPSNet checkpoint %s: loaded %d units, %d missing, "
+                "%d leftover, defaulted %s",
+                path, len(report["loaded"]), len(report["missing"]),
+                len(report["leftover"]), report["defaulted"] or "none",
+            )
+        return merged
+
     depth = "resnet101" if any(k.startswith("layer3.22") for k in state) else "resnet50"
     backbone = torchvision_resnet_to_backbone(state, depth)
     import jax
 
     params = dict(params)
     merged = {**params["backbone_net"]}
-    loaded = 0
+    problems = []
     for k, v in backbone.items():
-        if k in merged:
-            tgt = jax.tree.map(lambda x: x, merged[k])
-            src_leaves = jax.tree.leaves(v)
-            tgt_leaves = jax.tree.leaves(tgt)
-            if all(a.shape == np.asarray(b).shape for a, b in zip(src_leaves, tgt_leaves)):
-                merged[k] = jax.tree.map(lambda x: np.asarray(x), v)
-                loaded += 1
+        if k not in merged:
+            problems.append(f"converted block {k} absent from target tree")
+            continue
+        src_leaves = jax.tree.leaves(v)
+        tgt_leaves = jax.tree.leaves(merged[k])
+        if all(a.shape == np.asarray(b).shape
+               for a, b in zip(src_leaves, tgt_leaves)):
+            merged[k] = jax.tree.map(lambda x: np.asarray(x), v)
+        else:
+            problems.append(f"shape mismatch in backbone block {k}")
+    if problems and strict:
+        raise RuntimeError(
+            f"torchvision backbone load from {path} incomplete:\n  "
+            + "\n  ".join(problems)
+        )
     params["backbone_net"] = merged
     if logger:
-        logger.info("loaded %d/%d backbone blocks from %s", loaded, len(backbone), path)
+        logger.info(
+            "loaded %d backbone blocks from %s (heads keep their init)%s",
+            len(backbone) - len(problems), path,
+            f"; problems: {problems}" if problems else "",
+        )
     return params
