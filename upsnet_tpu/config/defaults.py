@@ -41,10 +41,12 @@ class NetworkConfig:
     fcn_num_layers: int = 2  # stacked 3x3 deformable convs per level
     fcn_with_dcn: bool = True
     fcn_shared_subnet: bool = True
-    # deformable conv implementation: 'pallas' | 'mxu' (both exact for
-    # |dy| <= dcn_max_dy, offsets clipped to the window) | 'gather'
-    # (unbounded-exact; use for from-scratch training stability)
-    dcn_impl: str = "pallas"
+    # deformable conv implementation: 'auto' (Pallas window kernel with a
+    # runtime lax.cond fallback to the exact gather path when any offset
+    # leaves the window — DCNv1-exact for arbitrary offsets) | 'pallas' |
+    # 'mxu' (both exact for |dy| <= dcn_max_dy, offsets clipped to the
+    # window) | 'gather' (unbounded-exact; simplest gradients)
+    dcn_impl: str = "auto"
     dcn_max_dy: int = 6
     # backbone norm: 'frozen_bn' (reference; needs pretrained stats) or
     # 'gn' (GroupNorm; trainable, stable from scratch)
@@ -102,6 +104,10 @@ class TrainConfig:
     fg_thresh: float = 0.5
     bg_thresh_hi: float = 0.5
     bg_thresh_lo: float = 0.0
+    # COCO iscrowd regions: anchors/proposals with crowd-IoA >= this are
+    # excluded from the negative pool (Detectron _filter_crowd_proposals)
+    crowd_filter_thresh: float = 0.7
+    max_crowd_instances: int = 8  # static pad for per-image crowd boxes
     # Losses
     fcn_loss_weight: float = 0.2
     panoptic_loss_weight: float = 0.1

@@ -62,11 +62,14 @@ class DeformConv(nn.Module):
     dilation: int = 1
     use_bias: bool = True
     dtype: Any = jnp.float32
+    # 'auto':   Pallas window kernel while all offsets fit the window,
+    #           lax.cond fallback to the exact gather path beyond it —
+    #           provably DCNv1-exact for arbitrary offsets (default)
     # 'pallas': VMEM hat-matmul kernel (fastest; exact for |dy| <= max_dy;
     #           falls back to 'mxu' off-TPU or for unaligned shapes)
     # 'mxu':    dense XLA hat-matmul sampling (exact for |dy| <= max_dy)
     # 'gather': unbounded-exact XLA gather path
-    impl: str = "pallas"
+    impl: str = "auto"
     max_dy: int = 6
 
     @nn.compact
@@ -95,8 +98,26 @@ class DeformConv(nn.Module):
             if self.use_bias
             else None
         )
+        # offset-magnitude probe (VERDICT r1 #2): max |dy|, |dx| per layer,
+        # retrievable via mutable=["intermediates"] (utils/dcn_probe.py);
+        # costs nothing when intermediates are not requested.
+        self.sow(
+            "intermediates",
+            "offset_max",
+            jnp.stack([
+                jnp.max(jnp.abs(offsets[..., 0::2])),
+                jnp.max(jnp.abs(offsets[..., 1::2])),
+            ]),
+        )
         w = weight.astype(self.dtype)
         b = bias.astype(self.dtype) if bias is not None else None
+        if self.impl == "auto":
+            from upsnet_tpu.ops.deform_conv import deform_conv2d_auto
+
+            return deform_conv2d_auto(
+                x.astype(self.dtype), offsets, w, b,
+                kernel_size=k, dilation=self.dilation, max_dy=self.max_dy,
+            )
         if self.impl == "pallas":
             from upsnet_tpu.ops.deform_conv_pallas import deform_conv2d_pallas
 

@@ -248,6 +248,155 @@ def _sample_ref(y_pad, sy, sx, max_dy: int, col_off: int = 1):
     return out
 
 
+# ---------------------------------------------------------------------------
+# hand-written backward kernel (VERDICT r1 item #3)
+#
+# The VJP of deform_sample has three parts, all expressible with the same
+# hat-tile structure as the forward:
+#   * grad_y: transpose of the per-row matmul — for candidate a,
+#     gwin[li + a] += tile_a (wp, w) @ g_row (w, c); windows overlap across
+#     row blocks, so each program emits its private window and XLA
+#     overlap-adds the (B, nb, win_rows, wp, C) buffer with 3 shifted adds;
+#   * grad_sy[j] = sum_a sum_col hat'(dy_a) * vx[col, j] * E_a[col, j]
+#   * grad_sx[j] = sum_a sum_col hat(dy_a) * vx'[col, j] * E_a[col, j]
+#     where E_a (wp, w) = win[li + a] (wp, c) @ g_row^T — one more small
+#     MXU matmul per candidate, then VPU reductions over sublanes.
+#
+# This replaces the round-1 fallback (jax.vjp through the dense jnp
+# reference), which materialized (B, H, W, Wp) hat tensors in HBM and ran
+# ~3x slower than the kernel while using GBs of temps.
+# ---------------------------------------------------------------------------
+
+
+def _sample_bwd_kernel(sy_ref, sx_ref, g_ref, y_hbm, gwin_ref, gsy_ref,
+                       gsx_ref, win, gwin_acc, sem, *, h: int, w: int,
+                       wp: int, c: int, r: int, win_pad: int):
+    rb_idx = pl.program_id(1)
+    i0 = rb_idx * RB
+    a_n = 2 * r + 3
+    win_rows = RB + 2 * r + 2
+
+    b_idx = pl.program_id(0)
+    dma = pltpu.make_async_copy(
+        y_hbm.at[b_idx, pl.ds(i0 + 1, win_rows)], win, sem
+    )
+    dma.start()
+
+    cols_t = (
+        jax.lax.broadcasted_iota(jnp.int32, (wp, w), 0).astype(jnp.float32)
+        - 1.0
+    )
+    gwin_acc[...] = jnp.zeros((win_pad, wp, c), jnp.float32)
+    dma.wait()
+
+    for li in range(RB):
+        sy_r = sy_ref[0, li:li + 1, :]  # (1, w)
+        sx_r = sx_ref[0, li:li + 1, :]
+        inside = (
+            (sy_r > -1.0) & (sy_r < float(h))
+            & (sx_r > -1.0) & (sx_r < float(w))
+        )
+        dx = sx_r - cols_t  # (wp, w)
+        vx_t = jnp.maximum(1.0 - jnp.abs(dx), 0.0)
+        vx_t = jnp.where(inside, vx_t, 0.0)
+        dvx_t = jnp.where(
+            (jnp.abs(dx) < 1.0) & inside, -jnp.sign(dx), 0.0
+        )
+        g_row = g_ref[0, li]  # (w, c)
+        i_glob = jnp.float32(i0 * 1.0) + li
+        gsy_acc = jnp.zeros((1, w), jnp.float32)
+        gsx_acc = jnp.zeros((1, w), jnp.float32)
+        for a in range(a_n):
+            dy = sy_r - (i_glob + (a - (r + 1)))  # (1, w)
+            vy = jnp.maximum(1.0 - jnp.abs(dy), 0.0)
+            dvy = jnp.where(jnp.abs(dy) < 1.0, -jnp.sign(dy), 0.0)
+            tile = (vy * vx_t).astype(win.dtype)  # (wp, w)
+            # grad to the y window: tile @ g_row
+            contrib = jax.lax.dot_general(
+                tile, g_row,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (wp, c)
+            gwin_acc[li + a] += contrib
+            # E_a for the offset grads: win row a (wp, c) x g_row (w, c)^T
+            e_a = jax.lax.dot_general(
+                win[li + a], g_row,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (wp, w)
+            gsy_acc += jnp.sum(dvy * vx_t * e_a, axis=0, keepdims=True)
+            gsx_acc += jnp.sum(vy * dvx_t * e_a, axis=0, keepdims=True)
+        gsy_ref[0, li] = gsy_acc[0]
+        gsx_ref[0, li] = gsx_acc[0]
+    gwin_ref[0, 0] = gwin_acc[...].astype(gwin_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("max_dy",))
+def _sample_pallas_bwd(y_pad, sy, sx, g, max_dy: int):
+    """Backward of _sample_pallas. Returns (grad_y_pad, grad_sy, grad_sx)."""
+    b, hpad, wp, c = y_pad.shape
+    _, h, w = sy.shape
+    r = max_dy
+    n_blocks = h // RB
+    win_rows = RB + 2 * r + 2
+    win_pad = _round_up(win_rows, RB)
+
+    kernel = functools.partial(
+        _sample_bwd_kernel, h=h, w=w, wp=wp, c=c, r=r, win_pad=win_pad
+    )
+    gwin, gsy, gsx = pl.pallas_call(
+        kernel,
+        grid=(b, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, RB, w), lambda bi, ri: (bi, ri, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RB, w), lambda bi, ri: (bi, ri, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RB, w, c), lambda bi, ri: (bi, ri, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # y_pad stays in HBM
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, win_pad, wp, c),
+                         lambda bi, ri: (bi, ri, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RB, w), lambda bi, ri: (bi, ri, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RB, w), lambda bi, ri: (bi, ri, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n_blocks, win_pad, wp, c), y_pad.dtype),
+            jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((win_rows, wp, c), y_pad.dtype),
+            pltpu.VMEM((win_pad, wp, c), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(sy, sx, g, y_pad)
+
+    # overlap-add the per-block windows: block t's window row q lands on
+    # y_pad row 1 + t*RB + q; chunks of RB rows keep every add contiguous.
+    grad = jnp.zeros((b, hpad, wp, c), jnp.float32)
+    for k in range(win_pad // RB):
+        seg = gwin[:, :, k * RB:(k + 1) * RB].astype(jnp.float32)
+        seg = seg.reshape(b, n_blocks * RB, wp, c)
+        start = 1 + k * RB
+        end = min(start + n_blocks * RB, hpad)
+        grad = jax.lax.dynamic_update_slice(
+            grad,
+            jax.lax.dynamic_slice(
+                grad, (0, start, 0, 0), (b, end - start, wp, c)
+            ) + seg[:, : end - start],
+            (0, start, 0, 0),
+        )
+    gsy = gsy.astype(sy.dtype)
+    gsx = gsx.astype(sx.dtype)
+    return grad.astype(y_pad.dtype), gsy, gsx
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def deform_sample(y_pad, sy, sx, max_dy: int):
     return _sample_pallas(y_pad, sy, sx, max_dy)
@@ -259,8 +408,7 @@ def _fwd(y_pad, sy, sx, max_dy):
 
 def _bwd(max_dy, res, g):
     y_pad, sy, sx = res
-    _, vjp = jax.vjp(lambda a, b, c: _sample_ref(a, b, c, max_dy), y_pad, sy, sx)
-    return vjp(g)
+    return _sample_pallas_bwd(y_pad, sy, sx, g, max_dy)
 
 
 deform_sample.defvjp(_fwd, _bwd)
@@ -287,6 +435,44 @@ def _bwd_t(max_dy, max_dx, res, g):
 deform_sample_tiled.defvjp(_fwd_t, _bwd_t)
 
 
+def pallas_route(shape, cout: int, max_dy: int, dilation: int):
+    """Static routing decision shared by deform_conv2d_pallas and the
+    'auto' exactness wrapper (ops/deform_conv.deform_conv2d_auto).
+
+    Returns (route, max_dx): route in {"untiled", "tiled", "mxu"};
+    max_dx is the horizontal clip bound of the fast path (None when
+    horizontal offsets are unrestricted — untiled and mxu paths contract
+    the full padded row).
+    """
+    b, h, w, cin = shape
+    a_n_ = 2 * (max_dy + dilation) + 3
+    wp_ = _round_up(w + 2, 128)
+    # VMEM budget check: wmat (w, a_n*wp) + window + out must fit ~16MB
+    vmem_est = (
+        w * a_n_ * wp_ * 2  # wmat bf16
+        + (RB + 2 * (max_dy + dilation) + 2) * wp_ * cout * 2  # window
+        + RB * w * cout * 4  # out block
+    )
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    max_dx = min(max_dy, (CTW - CT - 4) // 2)
+    if (
+        on_tpu
+        and h % RB == 0
+        and cout % 128 == 0
+        and vmem_est > 13 * 1024 * 1024
+        and w % CT == 0
+    ):
+        return "tiled", max_dx
+    if (
+        not on_tpu
+        or h % RB != 0
+        or cout % 128 != 0
+        or vmem_est > 13 * 1024 * 1024
+    ):
+        return "mxu", None
+    return "untiled", None
+
+
 @functools.partial(
     jax.jit, static_argnames=("kernel_size", "dilation", "max_dy")
 )
@@ -309,33 +495,13 @@ def deform_conv2d_pallas(
 
     b, h, w, cin = x.shape
     cout_ = weight.shape[-1]
-    # VMEM budget check: wmat (w, a_n*wp) + window + out must fit ~16MB
-    a_n_ = 2 * (max_dy + dilation) + 3
-    wp_ = _round_up(w + 2, 128)
-    vmem_est = (
-        w * a_n_ * wp_ * 2  # wmat bf16
-        + (RB + 2 * (max_dy + dilation) + 2) * wp_ * cout_ * 2  # window
-        + RB * w * cout_ * 4  # out block
-    )
-    on_tpu = jax.default_backend() in ("tpu", "axon")
-    max_dx = min(max_dy, (CTW - CT - 4) // 2)
-    if (
-        on_tpu
-        and h % RB == 0
-        and cout_ % 128 == 0
-        and vmem_est > 13 * 1024 * 1024
-        and w % CT == 0
-    ):
+    route, max_dx = pallas_route(x.shape, cout_, max_dy, dilation)
+    if route == "tiled":
         # wide inputs (Cityscapes 512+): column-tiled kernel, |dx| clipped
         return _deform_conv2d_pallas_tiled(
             x, offsets, weight, bias, kernel_size, dilation, max_dy, max_dx
         )
-    if (
-        not on_tpu
-        or h % RB != 0
-        or cout_ % 128 != 0
-        or vmem_est > 13 * 1024 * 1024
-    ):
+    if route == "mxu":
         return deform_conv2d_mxu(
             x, offsets, weight, bias, kernel_size, dilation, max_dy
         )
