@@ -48,7 +48,8 @@ class BaseDataset:
 
     def load_gt(self, i: int) -> dict:
         """boxes (N,4) xyxy float, classes (N,) int 1-based, masks (N,H,W)
-        uint8, seg (H, W) int32 with 255 ignore."""
+        uint8, seg (H, W) int32 with 255 ignore; optional crowd_boxes
+        (Nc, 4) xyxy iscrowd regions (ignore, not supervision)."""
         raise NotImplementedError
 
     def image_id(self, i: int):
@@ -132,12 +133,30 @@ class BaseDataset:
             mq = T.downsample_label(mr, 4)
             gt_masks[slot, : mq.shape[0], : mq.shape[1]] = mq
 
+        # iscrowd regions -> static-padded ignore boxes (Detectron lineage:
+        # excluded from the negative pools in ops/targets.py)
+        gc = self.cfg.train.max_crowd_instances
+        crowd_boxes = np.zeros((gc, 4), np.float32)
+        crowd_valid = np.zeros((gc,), bool)
+        cb = gt.get("crowd_boxes")
+        if cb is not None and len(cb):
+            cb = np.asarray(cb, np.float32) * scale
+            if flipped:
+                cb = T.flip_boxes_np(cb, rw)
+            nc = min(len(cb), gc)
+            crowd_boxes[:nc] = np.clip(
+                cb[:nc], [0, 0, 0, 0], [rw - 1, rh - 1, rw - 1, rh - 1]
+            )
+            crowd_valid[:nc] = True
+
         out.update(
             gt_boxes=gt_boxes,
             gt_classes=gt_classes,
             gt_valid=gt_valid,
             gt_masks=gt_masks,
             seg_gt=seg_q,
+            crowd_boxes=crowd_boxes,
+            crowd_valid=crowd_valid,
         )
         return out
 
@@ -210,6 +229,13 @@ class BaseDataset:
             pq_compute_single_image,
             pq_summarize,
         )
+
+        if isinstance(pan_results, str):  # path to written pred.json
+            from upsnet_tpu.evaluation.panoptic_format import (
+                read_panoptic_results,
+            )
+
+            pan_results = read_panoptic_results(pan_results)
 
         num_stuff = self.cfg.dataset.num_stuff
         index = self._index_of_image_id()

