@@ -1,4 +1,10 @@
-"""Multi-scale / flip TTA end-to-end on the tiny synthetic config."""
+"""Multi-scale / flip TTA end-to-end on the tiny synthetic config.
+
+Since VERDICT r1 item #8, TTA fuses through the SAME device
+``panoptic_fuse`` as the single-scale path (``tta.fuse_tta`` resamples the
+merged evidence onto the base bucket's quarter canvas) — the former
+host-side re-implementation is gone, so fusion cannot drift.
+"""
 
 import dataclasses
 
@@ -10,7 +16,7 @@ import pytest
 from upsnet_tpu.config import load_config
 from upsnet_tpu.data.synthetic import SyntheticDataset
 from upsnet_tpu.evaluation.inference import run_evaluation
-from upsnet_tpu.evaluation.tta import _greedy_nms_per_class, fuse_host
+from upsnet_tpu.evaluation.tta import _greedy_nms_per_class, fuse_tta
 
 
 def test_greedy_class_nms():
@@ -24,21 +30,58 @@ def test_greedy_class_nms():
     assert keep.tolist() == [0, 1, 2]
 
 
-def test_fuse_host_basic():
+def test_fuse_tta_matches_device_fusion():
+    """fuse_tta == panoptic_fuse on the same (resampled) evidence — the
+    pinning test from VERDICT r1 #8, now structural: fuse_tta calls the
+    device fusion, so this asserts the resample/pad plumbing."""
+    from upsnet_tpu.models.upsnet import panoptic_fuse
+
     cfg = load_config("experiments/upsnet_tiny_synthetic.yaml")
-    h, w = 32, 32
     num_stuff = cfg.dataset.num_stuff
-    seg = np.zeros((h, w, cfg.dataset.num_seg_classes), np.float32)
-    seg[:, :, 0] = 2.0
-    seg[8:16, 8:16, num_stuff] = 6.0  # thing class 1 evidence
-    boxes = np.array([[8.0, 8.0, 15.0, 15.0]])
-    scores = np.array([0.95])
-    classes = np.array([1])
-    masks = np.full((1, 28, 28), 8.0, np.float32)
-    pan, keep = fuse_host(cfg, seg, boxes, scores, classes, masks)
-    assert keep[0]
-    assert pan[12, 12] == num_stuff + 0
-    assert pan[0, 0] == 0
+    oh, ow = 128, 160  # == base bucket -> base_scale 1, no resize loss
+    bucket = (128, 160)
+    rng = np.random.RandomState(0)
+    seg_avg = rng.randn(oh, ow, cfg.dataset.num_seg_classes).astype(np.float32)
+    boxes = np.array([[8.0, 8.0, 60.0, 60.0], [70.0, 30.0, 120.0, 90.0]],
+                     np.float32)
+    scores = np.array([0.95, 0.9], np.float32)
+    classes = np.array([1, 2], np.int32)
+    masks = rng.randn(2, 28, 28).astype(np.float32) + 2.0
+
+    pan_map, keep, (pb, ps, pc, pm, pv) = fuse_tta(
+        cfg, seg_avg, boxes, scores, classes, masks,
+        base_scale=1.0, bucket=bucket, content_hw=(oh, ow),
+    )
+    assert pan_map.shape == (oh, ow)
+    assert keep[:2].any()
+
+    # reference: call panoptic_fuse directly on the same quarter evidence
+    import cv2
+
+    seg_q = cv2.resize(seg_avg, (ow // 4, oh // 4),
+                       interpolation=cv2.INTER_LINEAR)
+    d = cfg.test.max_det
+    pb2 = np.zeros((d, 4), np.float32)
+    ps2 = np.zeros((d,), np.float32)
+    pc2 = np.zeros((d,), np.int32)
+    pm2 = np.zeros((d, 28, 28), np.float32)
+    pv2 = np.zeros((d,), bool)
+    pb2[:2], ps2[:2], pc2[:2], pm2[:2], pv2[:2] = (
+        boxes, scores, classes, masks, True,
+    )
+    want_map, want_keep = panoptic_fuse(
+        jnp.asarray(seg_q), jnp.asarray(pb2), jnp.asarray(pc2),
+        jnp.asarray(pm2), jnp.asarray(ps2), jnp.asarray(pv2),
+        score_thresh=float(cfg.test.panoptic_score_thresh),
+        overlap_thresh=float(cfg.test.panoptic_mask_overlap_thresh),
+        num_stuff=num_stuff,
+    )
+    want_full = cv2.resize(
+        np.asarray(want_map).astype(np.int32), (ow, oh),
+        interpolation=cv2.INTER_NEAREST,
+    )
+    np.testing.assert_array_equal(pan_map, want_full)
+    np.testing.assert_array_equal(keep, np.asarray(want_keep))
 
 
 @pytest.mark.slow

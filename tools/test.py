@@ -20,6 +20,8 @@ def main():
     ap.add_argument("--weights", default=None, help="orbax checkpoint path")
     ap.add_argument("--dataset-override", default=None)
     ap.add_argument("--max-images", type=int, default=None)
+    ap.add_argument("--no-artifacts", action="store_true",
+                    help="skip writing panoptic PNG/JSON artifacts")
     args = ap.parse_args()
 
     from upsnet_tpu.utils.platform import honor_env_platform
@@ -52,9 +54,17 @@ def main():
     results = run_evaluation(
         cfg, dataset, weights=args.weights, logger=logger,
         max_images=args.max_images,
+        output_dir=None if args.no_artifacts else os.path.join(
+            out_dir, "panoptic"),
     )
+    from upsnet_tpu.evaluation.coco_eval import format_table
+
     for k, v in results.items():
         logger.info("%s: %s", k, v)
+        if k in ("boxes", "masks") and "APs" in v:
+            # the reference prints the full pycocotools 12-metric table
+            logger.info("%s COCOeval table:\n%s", k,
+                        format_table(v, cfg.test.max_det))
 
 
 if __name__ == "__main__":

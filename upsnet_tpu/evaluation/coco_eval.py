@@ -95,6 +95,17 @@ class COCOEvaluator:
         if not gts and not dets:
             return None
         dets = sorted(dets, key=lambda x: -x["score"])[: self.max_dets]
+        # IoUs are area-range independent: compute once per (img, cat) in
+        # original gt order, reindex per range (4 ranges share one matrix)
+        if not hasattr(self, "_iou_cache"):
+            self._iou_cache = {}
+        cache_key = (img, cat)
+        if cache_key not in self._iou_cache:
+            self._iou_cache[cache_key] = (
+                self._iou(dets, gts) if gts and dets
+                else np.zeros((len(dets), len(gts)))
+            )
+        ious_orig = self._iou_cache[cache_key]
         lo, hi = area_rng
         g_ignore = np.array(
             [
@@ -107,7 +118,7 @@ class COCOEvaluator:
         order = np.argsort(g_ignore, kind="stable")
         gts = [gts[i] for i in order]
         g_ignore = g_ignore[order]
-        ious = self._iou(dets, gts) if gts and dets else np.zeros((len(dets), 0))
+        ious = ious_orig[:, order]
 
         t = len(IOU_THRS)
         d_match = np.zeros((t, len(dets)), np.int64) - 1
@@ -149,11 +160,17 @@ class COCOEvaluator:
             "n_gt": int((~g_ignore).sum()),
         }
 
-    def summarize(self, area_rng_name: str = "all") -> dict:
-        area_rng = AREA_RANGES[area_rng_name]
+    def _accumulate(self, area_rng, max_dets_list):
+        """Per-category AP (at the largest maxDets) and AR per maxDets.
+
+        pycocotools semantics: detections are truncated PER IMAGE to
+        maxDets (in score order) before pooling across images.
+        """
         t = len(IOU_THRS)
-        ap_per_cat = np.full((t, len(self.cats)), np.nan)
-        ar_per_cat = np.full((t, len(self.cats)), np.nan)
+        n_cat = len(self.cats)
+        md_max = max(max_dets_list)
+        ap = np.full((t, n_cat), np.nan)
+        ar = {md: np.full((t, n_cat), np.nan) for md in max_dets_list}
         for ci, cat in enumerate(sorted(self.cats)):
             results = [
                 r
@@ -165,31 +182,110 @@ class COCOEvaluator:
             n_gt = sum(r["n_gt"] for r in results)
             if n_gt == 0:
                 continue
-            scores = np.concatenate([r["scores"] for r in results])
-            order = np.argsort(-scores, kind="mergesort")
-            matches = np.concatenate([r["d_match"] for r in results], axis=1)[:, order]
-            ignores = np.concatenate([r["d_ignore"] for r in results], axis=1)[:, order]
-            for ti in range(t):
-                keep = ~ignores[ti]
-                tp = np.cumsum((matches[ti] >= 0) & keep)
-                fp = np.cumsum((matches[ti] < 0) & keep)
-                recall = tp / n_gt
-                precision = tp / np.maximum(tp + fp, 1e-12)
-                # precision envelope
-                for k in range(len(precision) - 1, 0, -1):
-                    precision[k - 1] = max(precision[k - 1], precision[k])
-                # 101-point interpolation
-                idx = np.searchsorted(recall, RECALL_THRS, side="left")
-                prec_at = np.where(idx < len(precision), precision[np.minimum(idx, max(len(precision) - 1, 0))], 0.0) if len(precision) else np.zeros_like(RECALL_THRS)
-                ap_per_cat[ti, ci] = prec_at.mean()
-                ar_per_cat[ti, ci] = recall[-1] if len(recall) else 0.0
+            for md in max_dets_list:
+                scores = np.concatenate([r["scores"][:md] for r in results])
+                order = np.argsort(-scores, kind="mergesort")
+                matches = np.concatenate(
+                    [r["d_match"][:, :md] for r in results], axis=1
+                )[:, order]
+                ignores = np.concatenate(
+                    [r["d_ignore"][:, :md] for r in results], axis=1
+                )[:, order]
+                for ti in range(t):
+                    keep = ~ignores[ti]
+                    tp = np.cumsum((matches[ti] >= 0) & keep)
+                    fp = np.cumsum((matches[ti] < 0) & keep)
+                    recall = tp / n_gt
+                    ar[md][ti, ci] = recall[-1] if len(recall) else 0.0
+                    if md != md_max:
+                        continue
+                    precision = tp / np.maximum(tp + fp, 1e-12)
+                    # precision envelope
+                    for k in range(len(precision) - 1, 0, -1):
+                        precision[k - 1] = max(precision[k - 1], precision[k])
+                    # 101-point interpolation
+                    idx = np.searchsorted(recall, RECALL_THRS, side="left")
+                    prec_at = (
+                        np.where(
+                            idx < len(precision),
+                            precision[np.minimum(idx, max(len(precision) - 1, 0))],
+                            0.0,
+                        )
+                        if len(precision)
+                        else np.zeros_like(RECALL_THRS)
+                    )
+                    ap[ti, ci] = prec_at.mean()
+        return ap, ar
+
+    def summarize(self) -> dict:
+        """Full 12-metric COCOeval table (the reference prints this via
+        pycocotools summarize(), SURVEY.md §2.4): AP/AP50/AP75, area-range
+        APs/APm/APl, AR@1/10/100 and area-range ARs/ARm/ARl."""
+        self._iou_cache = {}
+        md = self.max_dets
+        md_list = sorted({1, 10, md})
+
+        def mean(x):
+            return float(np.nanmean(x)) if np.isfinite(x).any() else float("nan")
+
+        ap_all, ar_all = self._accumulate(AREA_RANGES["all"], md_list)
         out = {
-            "AP": float(np.nanmean(ap_per_cat)),
-            "AP50": float(np.nanmean(ap_per_cat[0])),
-            "AP75": float(np.nanmean(ap_per_cat[5])),
-            "AR": float(np.nanmean(ar_per_cat)),
+            "AP": mean(ap_all),
+            "AP50": mean(ap_all[0]),
+            "AP75": mean(ap_all[5]),
+            f"AR@{md}": mean(ar_all[md]),
+            "AR@1": mean(ar_all[1]) if 1 in ar_all else float("nan"),
+            "AR@10": mean(ar_all[10]) if 10 in ar_all else float("nan"),
+            # back-compat alias used by earlier tests/tools
+            "AR": mean(ar_all[md]),
         }
+        for name, key_ap, key_ar in (
+            ("small", "APs", "ARs"),
+            ("medium", "APm", "ARm"),
+            ("large", "APl", "ARl"),
+        ):
+            ap_a, ar_a = self._accumulate(AREA_RANGES[name], [md])
+            out[key_ap] = mean(ap_a)
+            out[key_ar] = mean(ar_a[md])
+        self._iou_cache = {}
         return out
+
+
+METRIC_ORDER = (
+    "AP", "AP50", "AP75", "APs", "APm", "APl",
+    "AR@1", "AR@10", "AR@100", "ARs", "ARm", "ARl",
+)
+
+_TABLE_ROWS = (
+    ("Average Precision", "AP", "0.50:0.95", "all"),
+    ("Average Precision", "AP50", "0.50", "all"),
+    ("Average Precision", "AP75", "0.75", "all"),
+    ("Average Precision", "APs", "0.50:0.95", "small"),
+    ("Average Precision", "APm", "0.50:0.95", "medium"),
+    ("Average Precision", "APl", "0.50:0.95", "large"),
+    ("Average Recall", "AR@1", "0.50:0.95", "all"),
+    ("Average Recall", "AR@10", "0.50:0.95", "all"),
+    ("Average Recall", "AR@100", "0.50:0.95", "all"),
+    ("Average Recall", "ARs", "0.50:0.95", "small"),
+    ("Average Recall", "ARm", "0.50:0.95", "medium"),
+    ("Average Recall", "ARl", "0.50:0.95", "large"),
+)
+
+
+def format_table(metrics: dict, max_dets: int = 100) -> str:
+    """pycocotools-style 12-line summary table."""
+    lines = []
+    for kind, key, iou, area in _TABLE_ROWS:
+        if key == "AR@100" and key not in metrics:
+            key = f"AR@{max_dets}"
+        md = int(key.split("@")[1]) if "@" in key else max_dets
+        v = metrics.get(key, float("nan"))
+        tag = "(AP)" if kind == "Average Precision" else "(AR)"
+        lines.append(
+            f" {kind:<17} {tag} @[ IoU={iou:<9} | area={area:>6} | "
+            f"maxDets={md:>3} ] = {v:0.3f}"
+        )
+    return "\n".join(lines)
 
 
 def _det_area(det: dict) -> float:

@@ -125,7 +125,7 @@ def postprocess_image(cfg: Config, dataset, out_i: dict, meta: dict):
 
 
 def run_evaluation(cfg: Config, dataset, weights=None, logger=None,
-                   max_images=None, params=None):
+                   max_images=None, params=None, output_dir=None):
     import jax
     import jax.numpy as jnp
 
@@ -192,6 +192,7 @@ def run_evaluation(cfg: Config, dataset, weights=None, logger=None,
                              "segments": segments})
             if logger and (i + 1) % 50 == 0:
                 logger.info("tta inference %d/%d", i + 1, n)
+        _write_artifacts(output_dir, all_pans, logger)
         return _summarize(dataset, all_dets, all_segs, all_pans)
 
     for i in shard:
@@ -210,4 +211,17 @@ def run_evaluation(cfg: Config, dataset, weights=None, logger=None,
         if logger and (i + 1) % 50 == 0:
             logger.info("inference %d/%d", i + 1, n)
 
+    _write_artifacts(output_dir, all_pans, logger)
     return _summarize(dataset, all_dets, all_segs, all_pans)
+
+
+def _write_artifacts(output_dir, all_pans, logger=None):
+    """COCO-panoptic PNG + segments JSON under output_dir (the reference's
+    evaluate_panoptic output layout, SURVEY.md §3.2/§3.4 step 5)."""
+    if not output_dir or not all_pans:
+        return
+    from upsnet_tpu.evaluation.panoptic_format import write_panoptic_results
+
+    json_path = write_panoptic_results(output_dir, all_pans)
+    if logger:
+        logger.info("wrote %d panoptic PNGs + %s", len(all_pans), json_path)

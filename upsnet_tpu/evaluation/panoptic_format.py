@@ -87,3 +87,76 @@ def build_panoptic_output(
 
     _ = unknown_ch  # unknown pixels stay VOID (id 0)
     return id_map, segments
+
+
+# ---------------------------------------------------------------------------
+# file artifacts (reference `evaluate_panoptic` output dir, SURVEY.md §3.2)
+# ---------------------------------------------------------------------------
+
+
+def write_panoptic_results(out_dir: str, pan_results: list) -> str:
+    """Write COCO-panoptic-format artifacts: one id-encoded RGB PNG per
+    image under ``out_dir/pred_pans/`` plus ``out_dir/pred.json`` with the
+    annotations list — the directory layout the reference's
+    ``evaluate_panoptic`` produces and panopticapi's pq_compute consumes
+    (VERDICT r1 item #6). Returns the JSON path."""
+    import json
+    import os
+
+    import cv2
+
+    png_dir = os.path.join(out_dir, "pred_pans")
+    os.makedirs(png_dir, exist_ok=True)
+    annotations = []
+    for p in pan_results:
+        image_id = int(p["image_id"])
+        file_name = f"{image_id:012d}.png"
+        rgb = id_to_rgb(np.ascontiguousarray(p["id_map"]))
+        cv2.imwrite(os.path.join(png_dir, file_name), rgb[:, :, ::-1])
+        annotations.append(
+            {
+                "image_id": image_id,
+                "file_name": file_name,
+                "segments_info": [
+                    {
+                        "id": int(s["id"]),
+                        "category_id": int(s["category_id"]),
+                        "area": int(s.get("area", 0)),
+                        "isthing": int(s.get("isthing", 0)),
+                        "iscrowd": 0,
+                    }
+                    for s in p["segments"]
+                ],
+            }
+        )
+    json_path = os.path.join(out_dir, "pred.json")
+    with open(json_path, "w") as f:
+        json.dump({"annotations": annotations}, f)
+    return json_path
+
+
+def read_panoptic_results(json_path: str) -> list:
+    """Inverse of write_panoptic_results: load the artifacts back into the
+    in-memory pan_results structure — lets ``evaluate_panoptic`` consume a
+    results *directory* (artifact-level diffability vs the reference)."""
+    import json
+    import os
+
+    import cv2
+
+    png_dir = os.path.join(os.path.dirname(json_path), "pred_pans")
+    with open(json_path) as f:
+        annotations = json.load(f)["annotations"]
+    out = []
+    for a in annotations:
+        bgr = cv2.imread(os.path.join(png_dir, a["file_name"]),
+                         cv2.IMREAD_COLOR)
+        id_map = rgb_to_id(bgr[:, :, ::-1])
+        out.append(
+            {
+                "image_id": a["image_id"],
+                "id_map": id_map.astype(np.int32),
+                "segments": a["segments_info"],
+            }
+        )
+    return out

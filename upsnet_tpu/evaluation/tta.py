@@ -13,11 +13,17 @@ Per image:
   3. detections are mapped to original coordinates (de-flip + unscale),
      concatenated, per-class-NMS'd (host greedy, <= #runs x max_det boxes),
      top max_det kept; mask logits follow their detection (de-flipped);
-  4. host-side fusion mirrors ops/panoptic.py at original resolution.
+  4. fusion runs the SAME device ``panoptic_fuse`` as the single-scale
+     path, on the merged evidence resampled to the base bucket's quarter
+     scale — one fusion implementation, no host/device drift (VERDICT r1
+     item #8; previously a separate host fusion re-implemented the math).
 """
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import numpy as np
 
 from upsnet_tpu.config.defaults import Config
@@ -45,77 +51,70 @@ def _greedy_nms_per_class(boxes, scores, classes, thresh, max_out):
     return np.array(keep, np.int64)
 
 
-def _paste_logits(mask_logit, box, hw):
-    """Paste an M x M logit map into an (H, W) canvas (zeros outside)."""
-    import cv2
+@functools.partial(
+    jax.jit, static_argnames=("score_thresh", "overlap_thresh", "num_stuff")
+)
+def _fuse_device(seg_lg, boxes, classes, ms_logits, scores, valid, *,
+                 score_thresh: float, overlap_thresh: float, num_stuff: int):
+    """The single-scale path's fusion, reused verbatim for TTA evidence
+    (one compile per bucket shape)."""
+    from upsnet_tpu.models.upsnet import panoptic_fuse
 
-    h, w = hw
-    x1, y1, x2, y2 = box
-    x1i, y1i = int(np.floor(x1)), int(np.floor(y1))
-    x2i, y2i = int(np.ceil(x2)), int(np.ceil(y2))
-    bw = max(x2i - x1i + 1, 1)
-    bh = max(y2i - y1i + 1, 1)
-    m = cv2.resize(mask_logit, (bw, bh), interpolation=cv2.INTER_LINEAR)
-    out = np.zeros((h, w), np.float32)
-    xs0, ys0 = max(x1i, 0), max(y1i, 0)
-    xs1, ys1 = min(x2i + 1, w), min(y2i + 1, h)
-    if xs1 > xs0 and ys1 > ys0:
-        out[ys0:ys1, xs0:xs1] = m[ys0 - y1i : ys1 - y1i, xs0 - x1i : xs1 - x1i]
-    return out
+    return panoptic_fuse(
+        seg_lg, boxes, classes, ms_logits, scores, valid,
+        score_thresh=score_thresh, overlap_thresh=overlap_thresh,
+        num_stuff=num_stuff,
+    )
 
 
-def fuse_host(cfg: Config, seg_logits, boxes, scores, classes, mask_logits):
-    """Host-side §3.4 fusion at original resolution (TTA path).
+def fuse_tta(cfg: Config, seg_avg, boxes, scores, classes, mask_logits,
+             base_scale: float, bucket: tuple, content_hw: tuple):
+    """Fuse TTA-merged evidence with the device ``panoptic_fuse``.
 
-    seg_logits (H, W, C) averaged; detections sorted by descending score.
-    Returns (pan_channel_map (H, W), keep (D,) bool) with the same channel
-    convention as the device fusion.
+    seg_avg (oh, ow, C) averaged logits at ORIGINAL resolution; detections
+    in original coordinates. Evidence is resampled onto the base bucket's
+    quarter-scale canvas (the frame the single-scale path fuses in), fused
+    on device, and the channel map is mapped back to original resolution.
+
+    Returns (pan_map (oh, ow) int32 channel indices, keep (max_det,) bool,
+    padded detection arrays in original coords).
     """
-    h, w, _ = seg_logits.shape
-    num_stuff = cfg.dataset.num_stuff
-    d = len(boxes)
-    keep_score = scores >= cfg.test.panoptic_score_thresh
-    # MaskRemoval
-    claimed = np.zeros((h, w), bool)
-    keep = np.zeros(d, bool)
-    pasted_prob = []
-    for i in range(d):
-        p = 1.0 / (1.0 + np.exp(-_paste_logits(mask_logits[i], boxes[i], (h, w))))
-        pasted_prob.append(p)
-        if not keep_score[i]:
-            continue
-        m = p >= 0.5
-        area = m.sum()
-        fresh = (m & ~claimed).sum()
-        if area > 0 and fresh / area >= cfg.test.panoptic_mask_overlap_thresh:
-            keep[i] = True
-            claimed |= m
-    # logits stack
-    stuff = np.moveaxis(seg_logits[:, :, :num_stuff], -1, 0)
-    thing = seg_logits[:, :, num_stuff:]
-    chans = [stuff]
-    inst = np.full((d, h, w), -1e4, np.float32)
-    seg_terms = np.full((d, h, w), -1e4, np.float32)
-    ys = np.arange(h)
-    xs = np.arange(w)
-    for i in range(d):
-        if not keep[i]:
-            continue
-        x1, y1, x2, y2 = boxes[i]
-        win_y = (ys >= np.floor(y1)) & (ys <= np.ceil(y2))
-        win_x = (xs >= np.floor(x1)) & (xs <= np.ceil(x2))
-        win = win_y[:, None] & win_x[None, :]
-        st = thing[:, :, int(classes[i]) - 1] * win
-        seg_terms[i] = np.where(keep[i], st, -1e4)
-        mt = _paste_logits(mask_logits[i], boxes[i], (h, w))
-        inst[i] = st + mt
-    chans.append(inst)
-    thing_max = thing.max(-1)
-    inst_max = seg_terms.max(0) if keep.any() else np.zeros((h, w), np.float32)
-    inst_max = np.where(np.isfinite(inst_max) & (inst_max > -1e3), inst_max, 0.0)
-    chans.append((thing_max - inst_max)[None])
-    z = np.concatenate(chans, axis=0)
-    return z.argmax(0).astype(np.int32), keep
+    import cv2
+    import jax.numpy as jnp
+
+    oh, ow = seg_avg.shape[:2]
+    rh, rw = content_hw
+    qh, qw = bucket[0] // 4, bucket[1] // 4
+    cqh, cqw = max(rh // 4, 1), max(rw // 4, 1)
+    seg_q = cv2.resize(seg_avg, (cqw, cqh), interpolation=cv2.INTER_LINEAR)
+    seg_canvas = np.zeros((qh, qw, seg_avg.shape[-1]), np.float32)
+    seg_canvas[:cqh, :cqw] = seg_q
+
+    d = cfg.test.max_det
+    pb = np.zeros((d, 4), np.float32)
+    ps = np.zeros((d,), np.float32)
+    pc = np.zeros((d,), np.int32)
+    pm = np.zeros((d,) + mask_logits.shape[1:], np.float32)
+    pv = np.zeros((d,), bool)
+    n = min(len(boxes), d)
+    pb[:n] = boxes[:n] * base_scale  # orig -> base-canvas coords
+    ps[:n] = scores[:n]
+    pc[:n] = classes[:n]
+    pm[:n] = mask_logits[:n]
+    pv[:n] = True
+
+    pan_q, keep = _fuse_device(
+        jnp.asarray(seg_canvas), jnp.asarray(pb), jnp.asarray(pc),
+        jnp.asarray(pm), jnp.asarray(ps), jnp.asarray(pv),
+        score_thresh=float(cfg.test.panoptic_score_thresh),
+        overlap_thresh=float(cfg.test.panoptic_mask_overlap_thresh),
+        num_stuff=int(cfg.dataset.num_stuff),
+    )
+    pan_q = np.asarray(pan_q)[:cqh, :cqw]
+    pan_full = cv2.resize(
+        pan_q.astype(np.int32), (ow, oh), interpolation=cv2.INTER_NEAREST
+    )
+    return pan_full, np.asarray(keep), (pb / base_scale, ps, pc, pm, pv)
 
 
 def predict_image_tta(cfg: Config, dataset, i: int, params, predict_by_bucket):
@@ -135,6 +134,7 @@ def predict_image_tta(cfg: Config, dataset, i: int, params, predict_by_bucket):
     all_boxes, all_scores, all_classes, all_masks = [], [], [], []
     oh = ow = None
     image_id = None
+    base = None  # (scale, bucket, content_hw) of the first variant
     for ts in scales:
         for fl in flips:
             s = dataset.sample(i, target_scale=ts, hflip=fl)
@@ -142,6 +142,8 @@ def predict_image_tta(cfg: Config, dataset, i: int, params, predict_by_bucket):
             image_id = s["image_id"]
             rh, rw = (int(v) for v in s["im_hw"])
             bucket = tuple(s["images"].shape[:2])
+            if base is None:
+                base = (float(s["scale"]), bucket, (rh, rw))
             out = predict_by_bucket[bucket](
                 params,
                 {
@@ -186,15 +188,21 @@ def predict_image_tta(cfg: Config, dataset, i: int, params, predict_by_bucket):
         boxes[order], scores[order], classes[order], masks[order],
     )
     seg_avg = seg_sum / n_seg
-    pan_map, pan_keep = fuse_host(cfg, seg_avg, boxes, scores, classes, masks)
+    base_scale, base_bucket, content_hw = base
+    pan_map, pan_keep, padded = fuse_tta(
+        cfg, seg_avg, boxes, scores, classes, masks,
+        base_scale, base_bucket, content_hw,
+    )
+    pb, ps, pc, pm, pv = padded
+    n = int(pv.sum())
     return {
         "image_id": image_id,
         "orig_hw": (oh, ow),
-        "boxes": boxes,
-        "scores": scores,
-        "classes": classes,
-        "mask_logits": masks,
+        "boxes": pb[:n],
+        "scores": ps[:n],
+        "classes": pc[:n],
+        "mask_logits": pm[:n],
         "seg_pred": seg_avg.argmax(-1).astype(np.int32),
         "pan_map": pan_map,
-        "pan_keep": pan_keep,
+        "pan_keep": pan_keep[:n],
     }
