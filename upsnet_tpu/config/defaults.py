@@ -139,6 +139,10 @@ class TrainConfig:
     # Images are bucketed/padded to these (H, W) shapes (multiples of 64).
     image_buckets: Tuple[Tuple[int, int], ...] = ((832, 1344), (1344, 832))
     max_gt_instances: int = 100
+    # input-pipeline worker processes (reference: DataLoader num_workers,
+    # SURVEY.md §3.1). 0 = single prefetch thread; >0 = forked sample
+    # builders with shared-memory transport (data/pipeline.ProcessLoader).
+    num_workers: int = 4
 
 
 @dataclass

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from upsnet_tpu.config.defaults import Config
-from upsnet_tpu.data.pipeline import Loader
+from upsnet_tpu.data.pipeline import make_loader
 from upsnet_tpu.models.registry import get_model
 from upsnet_tpu.ops.anchors import pyramid_anchors
 from upsnet_tpu.parallel.mesh import make_mesh, shard_batch
@@ -66,9 +66,10 @@ def train(cfg: Config, dataset, logger=None, max_steps: int | None = None,
     }
 
     n_dev = len(mesh.devices.flatten()) if mesh is not None else 1
-    loader = Loader(
+    loader = make_loader(
         dataset,
         batch_size=cfg.train.batch_size * n_dev,
+        num_workers=cfg.train.num_workers,
         shuffle=True,
         seed=cfg.seed,
         host_id=jax.process_index(),
