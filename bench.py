@@ -12,6 +12,11 @@ the 5 img/s estimate.
 Measures the FULL inference path on the flagship UPSNet-50 COCO config:
 backbone + FPN + RPN + proposal NMS + box/mask heads + semantic head +
 on-device panoptic fusion, batch 8, 832x1344 canvas, bfloat16 compute.
+
+Also measures the FULL training step (7-term loss + grads + SGD update,
+remat on) at batch 8 and reports it in the same JSON line as
+``train_images_per_sec`` / ``train_vs_baseline`` (reference: ~1 img/s/GPU
+at the 16-GPU batch-16 schedule — paper training setup, BASELINE.md).
 """
 
 from __future__ import annotations
@@ -20,6 +25,7 @@ import json
 import time
 
 BASELINE_IMAGES_PER_SEC = 5.0  # reference paper ~0.2 s/image, single GPU
+BASELINE_TRAIN_IMAGES_PER_SEC = 1.0  # reference ~1 img/s per GPU in training
 
 
 def main():
@@ -76,16 +82,67 @@ def main():
         times.append(time.perf_counter() - t0)
     ips = batch_size / min(times)
 
-    print(
-        json.dumps(
-            {
-                "metric": "upsnet50_coco_inference_images_per_sec_batch8_800px",
-                "value": round(ips, 3),
-                "unit": "images/sec",
-                "vs_baseline": round(ips / BASELINE_IMAGES_PER_SEC, 3),
-            }
+    train_ips = _bench_train(cfg, model, params, anchors, bucket, batch_size)
+
+    record = {
+        "metric": "upsnet50_coco_inference_images_per_sec_batch8_800px",
+        "value": round(ips, 3),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / BASELINE_IMAGES_PER_SEC, 3),
+    }
+    if train_ips is not None:
+        record["train_images_per_sec"] = round(train_ips, 3)
+        record["train_vs_baseline"] = round(
+            train_ips / BASELINE_TRAIN_IMAGES_PER_SEC, 3
         )
-    )
+    print(json.dumps(record))
+
+
+def _bench_train(cfg, model, params, anchors, bucket, batch_size):
+    """Full train step (loss + grad + SGD update) images/sec; None on error."""
+    import numpy as np
+
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from upsnet_tpu.data.pipeline import collate
+        from upsnet_tpu.data.synthetic import SyntheticDataset
+        from upsnet_tpu.parallel.steps import make_train_step
+        from upsnet_tpu.train.optimizer import make_optimizer
+
+        ds = SyntheticDataset(cfg, num_images=batch_size, image_hw=bucket,
+                              training=True)
+        batch = collate([ds.sample(i, np.random.RandomState(i))
+                         for i in range(batch_size)])
+        keep = ("images", "im_hw", "gt_boxes", "gt_classes", "gt_valid",
+                "gt_masks", "seg_gt", "crowd_boxes", "crowd_valid")
+        batch = {k: jnp.asarray(v) for k, v in batch.items() if k in keep}
+        optimizer = make_optimizer(cfg, params)
+        opt_state = optimizer.init(params)
+        step = make_train_step(model, cfg, anchors, optimizer)
+
+        key = jax.random.PRNGKey(0)
+        # warmup/compile (params are donated: chain the returned state)
+        params, opt_state, metrics = step(params, opt_state, batch, key)
+        _ = float(np.asarray(metrics["total"]))
+        times = []
+        for i in range(4):
+            b_i = dict(batch, images=batch["images"] + np.float32(1e-3 * (i + 1)))
+            _ = np.asarray(b_i["images"][0, 0, 0, 0])
+            t0 = time.perf_counter()
+            params, opt_state, metrics = step(
+                params, opt_state, b_i, jax.random.PRNGKey(i + 1)
+            )
+            _ = float(np.asarray(metrics["total"]))
+            times.append(time.perf_counter() - t0)
+        return batch_size / min(times)
+    except Exception:
+        import sys
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)  # JSON stdout line stays clean
+        return None
 
 
 if __name__ == "__main__":

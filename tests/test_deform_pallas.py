@@ -108,3 +108,62 @@ def test_tiled_deform_conv_matches_exact(rng):
         3, 1, 6, 6,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(exact), atol=2e-3)
+
+
+def test_mt_forward_matches_exact(rng):
+    """Sample-first multi-tap kernel == exact gather deform conv.
+    (offset scale keeps |dy| < max_dy: the exact impl never clips)"""
+    x = rng.randn(2, 16, 20, 16).astype(np.float32)
+    offsets = np.clip(rng.randn(2, 16, 20, 18) * 1.5, -5.5, 5.5).astype(
+        np.float32)
+    weight = rng.randn(9, 16, 8).astype(np.float32) * 0.1
+    bias = rng.randn(8).astype(np.float32)
+    exact = deform_conv2d_batched(
+        jnp.asarray(x), jnp.asarray(offsets), jnp.asarray(weight),
+        jnp.asarray(bias),
+    )
+    got = dcp.deform_conv2d_pallas_mt(
+        jnp.asarray(x), jnp.asarray(offsets), jnp.asarray(weight),
+        jnp.asarray(bias), max_dy=6,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exact), atol=2e-3)
+
+
+def test_mt_forward_dilation(rng):
+    x = rng.randn(1, 16, 20, 8).astype(np.float32)
+    offsets = (rng.randn(1, 16, 20, 18) * 1.2).astype(np.float32)
+    weight = rng.randn(9, 8, 8).astype(np.float32) * 0.1
+    exact = deform_conv2d_batched(
+        jnp.asarray(x), jnp.asarray(offsets), jnp.asarray(weight),
+        dilation=2,
+    )
+    got = dcp.deform_conv2d_pallas_mt(
+        jnp.asarray(x), jnp.asarray(offsets), jnp.asarray(weight),
+        dilation=2, max_dy=6,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exact), atol=2e-3)
+
+
+def test_mt_backward_matches_autodiff(rng):
+    """Hand-written mt backward kernel == autodiff of the exact impl
+    (offsets kept inside the window so the clip never binds)."""
+    x = rng.randn(1, 8, 12, 8).astype(np.float32)
+    offsets = (rng.randn(1, 8, 12, 18) * 1.2).astype(np.float32)
+    weight = rng.randn(9, 8, 8).astype(np.float32) * 0.1
+
+    def loss_exact(x, o, w_):
+        out = deform_conv2d_batched(x, o, w_)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    def loss_mt(x, o, w_):
+        out = dcp.deform_conv2d_pallas_mt(x, o, w_, max_dy=6)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    args = (jnp.asarray(x), jnp.asarray(offsets), jnp.asarray(weight))
+    g_ref = jax.grad(loss_exact, argnums=(0, 1, 2))(*args)
+    g_mt = jax.grad(loss_mt, argnums=(0, 1, 2))(*args)
+    for a, b, name in zip(g_mt, g_ref, ("x", "offsets", "weight")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-3,
+            err_msg=f"grad wrt {name}",
+        )

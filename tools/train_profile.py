@@ -27,11 +27,19 @@ def timed(fn, *args, n=4, warmup=2, perturb=0):
     def call(i):
         a = list(args)
         # dtype-preserving nudge (a numpy f32 scalar would promote bf16!)
-        eps = np.asarray(1e-6 * (i + 1), dtype=np.asarray(a[perturb]).dtype)
-        a[perturb] = a[perturb] + eps
+        leaf0 = jax.tree.leaves(a[perturb])[0]
+        eps = np.asarray(1e-6 * (i + 1), dtype=leaf0.dtype)
+        if isinstance(a[perturb], dict):
+            a[perturb] = {k: v + eps if k == "images" else v
+                          for k, v in a[perturb].items()}
+        else:
+            a[perturb] = a[perturb] + eps
         out = fn(*a)
         leaf = jax.tree.leaves(out)[0]
-        return float(np.asarray(leaf).ravel()[0])
+        # Materialize ONE scalar: np.asarray(full-leaf) would pull the whole
+        # tensor through the axon tunnel (~45 MB/s) and bill transfer time
+        # as compute (a 137MB deform output looked like +3000ms).
+        return float(np.asarray(leaf.ravel()[0]))
 
     for i in range(warmup):
         call(i)

@@ -48,6 +48,11 @@ class NetworkConfig:
     # window) | 'gather' (unbounded-exact; simplest gradients)
     dcn_impl: str = "auto"
     dcn_max_dy: int = 6
+    # ROIAlign forward: 'gather' (packed-corner XLA gather) or 'dense'
+    # (separable-hat MXU matmuls, ops/roi_align.fpn_roi_align_dense);
+    # identical semantics, different TPU cost model. Backward is always
+    # the dense custom VJP.
+    roi_align_impl: str = "gather"
     # backbone norm: 'frozen_bn' (reference; needs pretrained stats) or
     # 'gn' (GroupNorm; trainable, stable from scratch)
     norm: str = "frozen_bn"

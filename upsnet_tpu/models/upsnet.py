@@ -165,12 +165,12 @@ def _flatten_rpn(rpn_cls, rpn_bbox):
     return jnp.concatenate(cls_flat, 1), jnp.concatenate(bbox_flat, 1)
 
 
-def _pool_boxes(pyramid, rois, pooled, sampling_ratio=2):
+def _pool_boxes(pyramid, rois, pooled, sampling_ratio=2, impl="gather"):
     """Fused batched ROIAlign over P2..P5 (each (B, H, W, C))."""
     levels = jax.vmap(lambda r: fpn_level_assignment(r) - 2)(rois)
     return fpn_roi_align_batched(
         tuple(pyramid[:4]), rois, levels, pooled=pooled,
-        sampling_ratio=sampling_ratio,
+        sampling_ratio=sampling_ratio, impl=impl,
     )
 
 
@@ -269,7 +269,8 @@ def forward_train(model, params, cfg: Config, anchors, batch, key):
     )
 
     # --- box head ---------------------------------------------------------
-    pooled_box = _pool_boxes(pyramid, tgt.rois, net.pooled_size_box)
+    pooled_box = _pool_boxes(pyramid, tgt.rois, net.pooled_size_box,
+                            impl=net.roi_align_impl)
     r = tc.batch_rois
     cls_score, bbox_pred = model.apply(
         {"params": params},
@@ -290,7 +291,8 @@ def forward_train(model, params, cfg: Config, anchors, batch, key):
     # --- mask head on fg RoIs (layout: fg occupy the first k_fg slots) ----
     k_fg = int(tc.batch_rois * tc.fg_fraction)
     fg_rois = tgt.rois[:, :k_fg]
-    pooled_mask = _pool_boxes(pyramid, fg_rois, net.pooled_size_mask)
+    pooled_mask = _pool_boxes(pyramid, fg_rois, net.pooled_size_mask,
+                             impl=net.roi_align_impl)
     mask_logits = model.apply(
         {"params": params},
         pooled_mask.reshape(
@@ -321,7 +323,8 @@ def forward_train(model, params, cfg: Config, anchors, batch, key):
     # mask logits, SURVEY.md §3.3; requires the semantic head) -------------
     if net.has_panoptic_head and net.has_fcn_head:
         g = batch["gt_boxes"].shape[1]
-        pooled_gt = _pool_boxes(pyramid, batch["gt_boxes"], net.pooled_size_mask)
+        pooled_gt = _pool_boxes(pyramid, batch["gt_boxes"], net.pooled_size_mask,
+                                impl=net.roi_align_impl)
         gt_mask_logits = model.apply(
             {"params": params},
             pooled_gt.reshape(
@@ -468,7 +471,8 @@ def forward_predict(model, params, cfg: Config, anchors, batch):
         tuple(rpn_cls), tuple(rpn_bbox), batch["im_hw"]
     )
 
-    pooled_box = _pool_boxes(pyramid, rois, net.pooled_size_box)
+    pooled_box = _pool_boxes(pyramid, rois, net.pooled_size_box,
+                            impl=net.roi_align_impl)
     r = rois.shape[1]
     cls_score, bbox_pred = model.apply(
         {"params": params},
@@ -493,7 +497,8 @@ def forward_predict(model, params, cfg: Config, anchors, batch):
     dets = Detections(det_boxes, det_scores, det_classes, det_valid)
 
     # --- mask branch on final detections ----------------------------------
-    pooled_mask = _pool_boxes(pyramid, dets.boxes, net.pooled_size_mask)
+    pooled_mask = _pool_boxes(pyramid, dets.boxes, net.pooled_size_mask,
+                             impl=net.roi_align_impl)
     d = dets.boxes.shape[1]
     mask_logits_all = model.apply(
         {"params": params},

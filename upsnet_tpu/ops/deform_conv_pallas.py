@@ -40,14 +40,23 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _sample_kernel(sy_ref, sx_ref, y_hbm, out_ref, win, wmat_t, sem, *,
+def _sample_kernel(sy_ref, sx_ref, y_hbm, out_ref, win, sem, *,
                    h: int, w: int, wp: int, c: int, r: int):
-    """One (batch, row-block) program.
+    """One (batch, row-block) program — separable-hat formulation.
 
     Everything is built in "transposed" orientation — weight rows on
     sublanes, output pixels on lanes — so no vector transposes and no
     per-lane dynamic slicing are needed; the MXU contracts over dim 0 of
     both operands.
+
+    The bilinear weight factors as hat(dy) * hat(dx): the horizontal hat
+    matrix hx (wp, w) is built ONCE per output row, and each of the a_n
+    vertical candidates contributes dot(hx * vy_a, win[li+a]) with the
+    scalar-per-column vy_a folded into the matmul operand. Compared to
+    materializing the joint (a_n*wp, w) weight matrix in scratch (round-1
+    kernel), this removes a_n-1 full-tile VPU builds, all dynamic-offset
+    (sublane-misaligned, wp % 8 != 0) scratch stores, and the collapsed
+    (a_n, wp, c) -> (a_n*wp, c) window reshape per row.
     """
     rb_idx = pl.program_id(1)
     i0 = rb_idx * RB
@@ -74,20 +83,20 @@ def _sample_kernel(sy_ref, sx_ref, y_hbm, out_ref, win, wmat_t, sem, *,
             (sy_r > -1.0) & (sy_r < float(h))
             & (sx_r > -1.0) & (sx_r < float(w))
         )  # (1, w)
-        vx_t = jnp.maximum(1.0 - jnp.abs(sx_r - cols_t), 0.0)  # (wp, w)
-        vx_t = jnp.where(inside, vx_t, 0.0)
+        hx = jnp.maximum(1.0 - jnp.abs(sx_r - cols_t), 0.0)  # (wp, w)
+        hx = jnp.where(inside, hx, 0.0)
         i_glob = jnp.float32(i0 * 1.0) + li
+        acc = jnp.zeros((w, c), jnp.float32)
         for a in range(a_n):
             vy = jnp.maximum(
                 1.0 - jnp.abs(sy_r - (i_glob + (a - (r + 1)))), 0.0
-            )  # (1, w)
-            wmat_t[pl.ds(a * wp, wp), :] = (vy * vx_t).astype(wmat_t.dtype)
-        x = win[pl.ds(li, a_n)].reshape(a_n * wp, c)
-        out_ref[0, li] = jax.lax.dot_general(
-            wmat_t[:], x,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(out_ref.dtype)
+            )  # (1, w), broadcasts over sublanes of hx
+            acc += jax.lax.dot_general(
+                (hx * vy).astype(win.dtype), win[li + a],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        out_ref[0, li] = acc.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("max_dy",))
@@ -124,7 +133,6 @@ def _sample_pallas(y_pad, sy, sx, max_dy: int):
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), y_pad.dtype),
         scratch_shapes=[
             pltpu.VMEM((win_rows, wp, c), y_pad.dtype),
-            pltpu.VMEM((a_n * wp, w), y_pad.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )(sy, sx, y_pad)
@@ -134,15 +142,15 @@ CT = 256  # output columns per program in the column-tiled kernel
 CTW = 384  # source-column window (CT + 2*max_dx + 4, rounded to 128)
 
 
-def _sample_kernel_tiled(sy_ref, sx_ref, y_hbm, out_ref, win, wmat_t, sem, *,
+def _sample_kernel_tiled(sy_ref, sx_ref, y_hbm, out_ref, win, sem, *,
                          h: int, w: int, c: int, r: int, max_dx: int):
     """Column-tiled variant: grid (batch, row blocks, col blocks).
 
-    Same math as _sample_kernel, but each program covers CT output columns
-    and DMAs only its (win_rows, CTW) source window — VMEM stays bounded
-    for arbitrarily wide inputs (Cityscapes 512+, multi-scale 1024-wide
-    quarter-res maps). Requires |dx| <= max_dx (offsets are pre-clipped in
-    the wrapper, mirroring the vertical clamp).
+    Same separable-hat math as _sample_kernel, but each program covers CT
+    output columns and DMAs only its (win_rows, CTW) source window — VMEM
+    stays bounded for arbitrarily wide inputs (Cityscapes 512+, multi-scale
+    1024-wide quarter-res maps). Requires |dx| <= max_dx (offsets are
+    pre-clipped in the wrapper, mirroring the vertical clamp).
     """
     rb_idx = pl.program_id(1)
     cb_idx = pl.program_id(2)
@@ -172,20 +180,20 @@ def _sample_kernel_tiled(sy_ref, sx_ref, y_hbm, out_ref, win, wmat_t, sem, *,
             (sy_r > -1.0) & (sy_r < float(h))
             & (sx_r > -1.0) & (sx_r < float(w))
         )
-        vx_t = jnp.maximum(1.0 - jnp.abs(sx_r - cols_t), 0.0)  # (CTW, CT)
-        vx_t = jnp.where(inside, vx_t, 0.0)
+        hx = jnp.maximum(1.0 - jnp.abs(sx_r - cols_t), 0.0)  # (CTW, CT)
+        hx = jnp.where(inside, hx, 0.0)
         i_glob = jnp.float32(i0 * 1.0) + li
+        acc = jnp.zeros((CT, c), jnp.float32)
         for a in range(a_n):
             vy = jnp.maximum(
                 1.0 - jnp.abs(sy_r - (i_glob + (a - (r + 1)))), 0.0
             )
-            wmat_t[pl.ds(a * CTW, CTW), :] = (vy * vx_t).astype(wmat_t.dtype)
-        x = win[pl.ds(li, a_n)].reshape(a_n * CTW, c)
-        out_ref[0, li] = jax.lax.dot_general(
-            wmat_t[:], x,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(out_ref.dtype)
+            acc += jax.lax.dot_general(
+                (hx * vy).astype(win.dtype), win[li + a],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        out_ref[0, li] = acc.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("max_dy", "max_dx"))
@@ -216,7 +224,6 @@ def _sample_pallas_tiled(y_pad, sy, sx, max_dy: int, max_dx: int):
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), y_pad.dtype),
         scratch_shapes=[
             pltpu.VMEM((RB + 2 * r + 2, CTW, c), y_pad.dtype),
-            pltpu.VMEM(((2 * r + 3) * CTW, CT), y_pad.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )(sy, sx, y_pad)
@@ -445,15 +452,38 @@ def pallas_route(shape, cout: int, max_dy: int, dilation: int):
     the full padded row).
     """
     b, h, w, cin = shape
-    a_n_ = 2 * (max_dy + dilation) + 3
     wp_ = _round_up(w + 2, 128)
-    # VMEM budget check: wmat (w, a_n*wp) + window + out must fit ~16MB
-    vmem_est = (
-        w * a_n_ * wp_ * 2  # wmat bf16
-        + (RB + 2 * (max_dy + dilation) + 2) * wp_ * cout * 2  # window
-        + RB * w * cout * 4  # out block
+    # Multi-tap sample-first kernel (preferred): one window DMA + merged
+    # (wp, 9*Wpd) matmuls. Budget: window + hx stack + double-buffered out
+    # block + f32 accumulator/part staging, all ~13MB.
+    wpd_ = _round_up(w, 128)
+    k_taps = 9
+    win_rows_mt = MT_RB + 2 * (max_dy + dilation) + 2
+    mt_est = (
+        win_rows_mt * wp_ * cin * 2  # window (bf16, CIN channels)
+        + wp_ * k_taps * wpd_ * 2  # hx stack
+        + 2 * MT_RB * k_taps * wpd_ * cin * 2  # out block, double-buffered
+        + 2 * k_taps * wpd_ * cin * 4  # acc + part f32
     )
     on_tpu = jax.default_backend() in ("tpu", "axon")
+    # NOTE: the mt (sample-first joint-K) kernel measured SLOWER than the
+    # per-tap kernel at flagship shapes (117 vs 101 ms/layer b8 P2): every
+    # hat-matmul formulation is bound by materializing the joint bilinear
+    # weights through the VPU (~75GB VMEM traffic per layer), and the
+    # per-tap variant already sits at that floor with the smallest
+    # constant. Keep "mt" available via deform_conv2d_pallas_mt (tested,
+    # exact) but do not route to it by default.
+    del mt_est
+    # VMEM budget: halo window + per-row hat matrix (f32 + bf16 matmul
+    # operand) + f32 accumulator + out block must fit ~16MB. The separable
+    # kernel dropped the (a_n*wp, w) joint weight matrix, so Cityscapes-
+    # width rows (wp 640) now take the untiled EXACT path (no |dx| clip).
+    vmem_est = (
+        (RB + 2 * (max_dy + dilation) + 2) * wp_ * cout * 2  # window
+        + wp_ * w * 6  # hx f32 + bf16 operand
+        + w * cout * 4  # accumulator
+        + RB * w * cout * 4  # out block
+    )
     max_dx = min(max_dy, (CTW - CT - 4) // 2)
     if (
         on_tpu
@@ -496,6 +526,10 @@ def deform_conv2d_pallas(
     b, h, w, cin = x.shape
     cout_ = weight.shape[-1]
     route, max_dx = pallas_route(x.shape, cout_, max_dy, dilation)
+    if route == "mt":
+        return deform_conv2d_pallas_mt(
+            x, offsets, weight, bias, kernel_size, dilation, max_dy
+        )
     if route == "tiled":
         # wide inputs (Cityscapes 512+): column-tiled kernel, |dx| clipped
         return _deform_conv2d_pallas_tiled(
@@ -576,6 +610,410 @@ def _deform_conv2d_pallas_tiled(x, offsets, weight, bias, kernel_size,
         sy = iy + (kh - half) * dilation + off_y[..., tap]
         sx = ix + (kw - half) * dilation + off_x[..., tap]
         out = out + deform_sample_tiled(y_pad, sy, sx, r_eff, dx_eff)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Multi-tap sample-first kernels ("mt"): all 9 taps share one halo window.
+#
+# The reference CUDA kernel (MXNet deformable_im2col lineage) samples the
+# INPUT and GEMMs the weights afterwards; the round-1/2 kernels above
+# project-first instead (sample x @ W_tap per tap), which forces 9 separate
+# pallas_calls, 9 window DMAs, and per-tap (wp, w) matmuls whose K=wp is too
+# small to keep the MXU busy. Sampling first restores the reference
+# structure AND merges the 9 taps into one kernel:
+#
+#   per output row, per vertical candidate a:
+#     part (9*Wpd, C) = hx_stack (wp, 9*Wpd)^T @ win[li+a] (wp, C)
+#     acc += vy_stack[:, a:a+1] * part        # per-pixel vertical weight
+#
+# One window DMA per program, K=wp and M=9*Wpd per matmul (vs M=w), and the
+# vertical hat applied as a column-broadcast multiply AFTER the matmul (the
+# per-(tap, candidate) joint-weight builds are gone). The conv weights are
+# applied outside as one (B*H*W, 9*Cin) @ (9*Cin, Cout) GEMM.
+# ---------------------------------------------------------------------------
+
+MT_RB = 2  # output rows per program (fwd mt kernel)
+MT_G = 3  # taps per backward kernel call (VMEM budget)
+
+
+def _sample_mt_kernel(sy_ref, sx_ref, syt_ref, x_hbm, out_ref, win, hxs,
+                      wj, xj, sem, *, h: int, w: int, wp: int, c: int,
+                      r: int, taps: int, wpd: int, group: int):
+    """Joint-K formulation: per (row, tap-group) ONE MXU matmul.
+
+    The candidate dimension folds into K: W_joint[(a, q), (t, j)] =
+    vy[a, t, j] * hx[q, t, j] against X_joint[(a, q), :] = win[li+a, q, :].
+    K = a_n*wp (~6.5k) and M = group*wpd (~1.2k) amortize MXU issue latency
+    that a per-candidate loop pays 17x (measured: per-candidate fori_loop
+    ~105ms/layer, joint-K ~? — see STATUS). All slab stores are lane/sublane
+    aligned (wp, wpd multiples of 128), fixing round-1's misaligned-store
+    penalty on the same structure.
+    """
+    rb_idx = pl.program_id(1)
+    i0 = rb_idx * MT_RB
+    a_n = 2 * r + 3
+    win_rows = MT_RB + 2 * r + 2
+    n_groups = (taps + group - 1) // group
+
+    b_idx = pl.program_id(0)
+    dma = pltpu.make_async_copy(
+        x_hbm.at[b_idx, pl.ds(i0 + 1, win_rows)], win, sem
+    )
+    dma.start()
+    cols_t = (
+        jax.lax.broadcasted_iota(jnp.int32, (wp, wpd), 0).astype(jnp.float32)
+        - 1.0
+    )
+    dma.wait()
+
+    for li in range(MT_RB):
+        for t in range(taps):
+            sy_r = sy_ref[0, li, t:t + 1, :]  # (1, wpd)
+            sx_r = sx_ref[0, li, t:t + 1, :]
+            inside = (
+                (sy_r > -1.0) & (sy_r < float(h))
+                & (sx_r > -1.0) & (sx_r < float(w))
+            )
+            hx = jnp.maximum(1.0 - jnp.abs(sx_r - cols_t), 0.0)
+            hxs[:, t * wpd:(t + 1) * wpd] = jnp.where(inside, hx, 0.0).astype(
+                hxs.dtype
+            )
+        # X_joint: stacked candidate windows (a_n*wp, c)
+        for a in range(a_n):
+            xj[a * wp:(a + 1) * wp] = win[li + a]
+        i_glob = jnp.float32(i0 * 1.0) + li
+        for g in range(n_groups):
+            t0 = g * group
+            g_taps = min(group, taps - t0)
+            for a in range(a_n):
+                for tl in range(g_taps):
+                    t = t0 + tl
+                    sy_r = sy_ref[0, li, t:t + 1, :]  # (1, wpd)
+                    vy = jnp.maximum(
+                        1.0 - jnp.abs(sy_r - (i_glob + (a - (r + 1)))), 0.0
+                    )
+                    wj[a * wp:(a + 1) * wp, tl * wpd:(tl + 1) * wpd] = (
+                        vy * hxs[:, t * wpd:(t + 1) * wpd].astype(jnp.float32)
+                    ).astype(wj.dtype)
+            part = jax.lax.dot_general(
+                wj[:], xj[:],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (group*wpd, c)
+            for tl in range(g_taps):
+                out_ref[0, li, t0 + tl] = part[
+                    tl * wpd:(tl + 1) * wpd
+                ].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("max_dy",))
+def _sample_pallas_mt(x_pad, sy, sx, syt, max_dy: int):
+    """x_pad (B, Hpad, Wp, C); sy/sx (B, H, T, Wpd) f32 (cols >= w hold
+    -1e9 sentinels); syt (B, nb, T*Wpd, MT_RB). Returns (B, H, T, Wpd, C)."""
+    b, hpad, wp, c = x_pad.shape
+    _, h, taps, wpd = sy.shape
+    r = max_dy
+    assert h % MT_RB == 0, (h, MT_RB)
+    n_blocks = h // MT_RB
+    win_rows = MT_RB + 2 * r + 2
+    a_n = 2 * r + 3
+    group = MT_G
+
+    # `w=wpd` only loosens the `inside` upper bound on sx: sx in [w, wpd)
+    # resolves to 0 anyway because source columns >= w are zero-padded and
+    # unreachable by the hat (same argument as _sample_pallas's docstring).
+    kernel = functools.partial(
+        _sample_mt_kernel, h=h, w=wpd, wp=wp, c=c, r=r, taps=taps, wpd=wpd,
+        group=group,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, MT_RB, taps, wpd), lambda bi, ri: (bi, ri, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, MT_RB, taps, wpd), lambda bi, ri: (bi, ri, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, taps * wpd, MT_RB),
+                         lambda bi, ri: (bi, ri, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, MT_RB, taps, wpd, c), lambda bi, ri: (bi, ri, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, taps, wpd, c), x_pad.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((win_rows, wp, c), x_pad.dtype),
+            pltpu.VMEM((wp, taps * wpd), x_pad.dtype),
+            pltpu.VMEM((a_n * wp, group * wpd), x_pad.dtype),
+            pltpu.VMEM((a_n * wp, c), x_pad.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,  # v5e VMEM is 128MB
+        ),
+    )(sy, sx, syt, x_pad)
+
+
+def _sample_mt_bwd_kernel(sy_ref, sx_ref, syt_ref, g_ref, x_hbm, gwin_ref,
+                          gsy_ref, gsx_ref, win, hxs, dvxs, srow, gyr, gxr,
+                          sem, *, h: int, wp: int, c: int, r: int, taps: int,
+                          wpd: int, win_pad: int):
+    """Backward of the mt sampling for one tap GROUP (taps <= MT_G).
+
+    Per (li, a): grad to the shared window rides two merged matmuls
+    (K = taps*wpd and K = c); offset grads use the hadamard-colsum identity
+    gsy = dvy * sum_q(hx .* E), gsx = vy * sum_q(dvx .* E) with
+    E = win[li+a] @ g_row^T. gwin accumulates bf16 in the out block —
+    each window row receives at most MT_RB in-program adds (exact order
+    reconstructed by the caller's f32 overlap-add)."""
+    rb_idx = pl.program_id(1)
+    i0 = rb_idx * MT_RB
+    a_n = 2 * r + 3
+    win_rows = MT_RB + 2 * r + 2
+
+    b_idx = pl.program_id(0)
+    dma = pltpu.make_async_copy(
+        x_hbm.at[b_idx, pl.ds(i0 + 1, win_rows)], win, sem
+    )
+    dma.start()
+    cols_t = (
+        jax.lax.broadcasted_iota(jnp.int32, (wp, wpd), 0).astype(jnp.float32)
+        - 1.0
+    )
+    gwin_ref[0, 0] = jnp.zeros((win_pad, wp, c), gwin_ref.dtype)
+    dma.wait()
+
+    for li in range(MT_RB):
+        for t in range(taps):
+            sy_r = sy_ref[0, li, t:t + 1, :]
+            sx_r = sx_ref[0, li, t:t + 1, :]
+            inside = (
+                (sy_r > -1.0) & (sy_r < float(h))
+                & (sx_r > -1.0) & (sx_r < float(wpd))
+            )
+            dx = sx_r - cols_t
+            hx = jnp.maximum(1.0 - jnp.abs(dx), 0.0)
+            hxs[:, t * wpd:(t + 1) * wpd] = jnp.where(inside, hx, 0.0).astype(
+                hxs.dtype
+            )
+            dvx = jnp.where((jnp.abs(dx) < 1.0) & inside, -jnp.sign(dx), 0.0)
+            dvxs[:, t * wpd:(t + 1) * wpd] = dvx.astype(dvxs.dtype)
+            # row-oriented sy stack (lane-offset stores, no vector transpose)
+            srow[:, t * wpd:(t + 1) * wpd] = sy_r
+        i_glob = jnp.float32(i0 * 1.0) + li
+        sy_col = syt_ref[0, 0, :, li:li + 1]  # (taps*wpd, 1)
+        sy_row = srow[:]  # (1, taps*wpd)
+        g_li = g_ref[0, li].reshape(taps * wpd, c)
+        gyr[...] = jnp.zeros((1, taps * wpd), jnp.float32)
+        gxr[...] = jnp.zeros((1, taps * wpd), jnp.float32)
+        for a in range(a_n):
+            dy_col = sy_col - (i_glob + (a - (r + 1)))  # (taps*wpd, 1)
+            vy_col = jnp.maximum(1.0 - jnp.abs(dy_col), 0.0)
+            gs = (vy_col * g_li).astype(win.dtype)  # (taps*wpd, c)
+            contrib = jax.lax.dot_general(
+                hxs[:], gs,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (wp, c)
+            gwin_ref[0, 0, li + a] += contrib.astype(gwin_ref.dtype)
+            e = jax.lax.dot_general(
+                win[li + a], g_li,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (wp, taps*wpd)
+            hxe = jnp.sum(hxs[:].astype(jnp.float32) * e, axis=0,
+                          keepdims=True)  # (1, taps*wpd)
+            dxe = jnp.sum(dvxs[:].astype(jnp.float32) * e, axis=0,
+                          keepdims=True)
+            dy_row = sy_row - (i_glob + (a - (r + 1)))
+            vy_row = jnp.maximum(1.0 - jnp.abs(dy_row), 0.0)
+            dvy_row = jnp.where(jnp.abs(dy_row) < 1.0, -jnp.sign(dy_row), 0.0)
+            gyr[...] += dvy_row * hxe
+            gxr[...] += vy_row * dxe
+        for t in range(taps):  # (1, wpd) lane slices, no cross-sublane moves
+            gsy_ref[0, li, t:t + 1, :] = gyr[:, t * wpd:(t + 1) * wpd]
+            gsx_ref[0, li, t:t + 1, :] = gxr[:, t * wpd:(t + 1) * wpd]
+
+
+@functools.partial(jax.jit, static_argnames=("max_dy",))
+def _sample_pallas_mt_bwd(x_pad, sy, sx, syt, g, max_dy: int):
+    """Backward of _sample_pallas_mt for one tap group.
+
+    Returns (grad_x_pad_f32, grad_sy, grad_sx); grad_x_pad accumulated via
+    the caller-side f32 overlap-add of per-block windows."""
+    b, hpad, wp, c = x_pad.shape
+    _, h, taps, wpd = sy.shape
+    r = max_dy
+    n_blocks = h // MT_RB
+    win_rows = MT_RB + 2 * r + 2
+    win_pad = _round_up(win_rows, MT_RB)
+
+    kernel = functools.partial(
+        _sample_mt_bwd_kernel, h=h, wp=wp, c=c, r=r, taps=taps, wpd=wpd,
+        win_pad=win_pad,
+    )
+    gwin, gsy, gsx = pl.pallas_call(
+        kernel,
+        grid=(b, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, MT_RB, taps, wpd), lambda bi, ri: (bi, ri, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, MT_RB, taps, wpd), lambda bi, ri: (bi, ri, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, taps * wpd, MT_RB),
+                         lambda bi, ri: (bi, ri, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, MT_RB, taps, wpd, c),
+                         lambda bi, ri: (bi, ri, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, win_pad, wp, c),
+                         lambda bi, ri: (bi, ri, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, MT_RB, taps, wpd), lambda bi, ri: (bi, ri, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, MT_RB, taps, wpd), lambda bi, ri: (bi, ri, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n_blocks, win_pad, wp, c), x_pad.dtype),
+            jax.ShapeDtypeStruct((b, h, taps, wpd), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, taps, wpd), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((win_rows, wp, c), x_pad.dtype),
+            pltpu.VMEM((wp, taps * wpd), x_pad.dtype),
+            pltpu.VMEM((wp, taps * wpd), x_pad.dtype),
+            pltpu.VMEM((1, taps * wpd), jnp.float32),
+            pltpu.VMEM((1, taps * wpd), jnp.float32),
+            pltpu.VMEM((1, taps * wpd), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,  # v5e VMEM is 128MB
+        ),
+    )(sy, sx, syt, g, x_pad)
+
+    # overlap-add: block t's window row q lands on x_pad row 1 + t*MT_RB + q
+    grad = jnp.zeros((b, hpad, wp, c), jnp.float32)
+    for k in range(win_pad // MT_RB):
+        seg = gwin[:, :, k * MT_RB:(k + 1) * MT_RB].astype(jnp.float32)
+        seg = seg.reshape(b, n_blocks * MT_RB, wp, c)
+        start = 1 + k * MT_RB
+        end = min(start + n_blocks * MT_RB, hpad)
+        grad = jax.lax.dynamic_update_slice(
+            grad,
+            jax.lax.dynamic_slice(
+                grad, (0, start, 0, 0), (b, end - start, wp, c)
+            ) + seg[:, : end - start],
+            (0, start, 0, 0),
+        )
+    return grad, gsy, gsx
+
+
+def _mt_syt(sy):
+    """Column-oriented sy for the kernels: (B, n_blocks, T*Wpd, MT_RB).
+
+    The last-two block dims must be Mosaic-legal: T*Wpd divides 8 and the
+    lane dim equals the full MT_RB extent (a (1, T*Wpd, h) layout with a
+    size-MT_RB lane block is rejected by the TPU lowering)."""
+    b, h, taps, wpd = sy.shape
+    syt = sy.transpose(0, 2, 3, 1).reshape(b, taps * wpd, h)
+    return syt.reshape(b, taps * wpd, h // MT_RB, MT_RB).transpose(0, 2, 1, 3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def deform_sample_mt(x_pad, sy, sx, max_dy: int):
+    """Multi-tap sampling with hand-written fwd+bwd kernels.
+
+    x_pad (B, Hpad, Wp, C); sy/sx (B, H, T, Wpd). Returns (B, H, T, Wpd, C).
+    """
+    return _sample_pallas_mt(x_pad, sy, sx, _mt_syt(sy), max_dy)
+
+
+def _mt_fwd(x_pad, sy, sx, max_dy):
+    return deform_sample_mt(x_pad, sy, sx, max_dy), (x_pad, sy, sx)
+
+
+def _mt_bwd(max_dy, res, g):
+    x_pad, sy, sx = res
+    b, h, taps, wpd = sy.shape
+    gx = None
+    gsy_parts, gsx_parts = [], []
+    for t0 in range(0, taps, MT_G):
+        t1 = min(t0 + MT_G, taps)
+        sy_g = sy[:, :, t0:t1]
+        sx_g = sx[:, :, t0:t1]
+        g_g = g[:, :, t0:t1]
+        gxg, gsy_g, gsx_g = _sample_pallas_mt_bwd(
+            x_pad, sy_g, sx_g, _mt_syt(sy_g), g_g, max_dy
+        )
+        gx = gxg if gx is None else gx + gxg
+        gsy_parts.append(gsy_g)
+        gsx_parts.append(gsx_g)
+    gsy = jnp.concatenate(gsy_parts, axis=2)
+    gsx = jnp.concatenate(gsx_parts, axis=2)
+    return gx.astype(x_pad.dtype), gsy, gsx
+
+
+deform_sample_mt.defvjp(_mt_fwd, _mt_bwd)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kernel_size", "dilation", "max_dy")
+)
+def deform_conv2d_pallas_mt(
+    x: jnp.ndarray,
+    offsets: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    kernel_size: int = 3,
+    dilation: int = 1,
+    max_dy: int = 6,
+) -> jnp.ndarray:
+    """Deformable conv, sample-first (reference deformable_im2col order):
+    one multi-tap Pallas sampling of the input, then a single
+    (B*H*W, K*Cin) @ (K*Cin, Cout) GEMM. Exact for |dy| <= max_dy
+    (vertical offsets clipped to the window edge like the other impls);
+    horizontal offsets unrestricted."""
+    b, h, w, cin = x.shape
+    k = kernel_size * kernel_size
+    cout = weight.shape[-1]
+    half = (kernel_size - 1) // 2
+    r_eff = max_dy + dilation
+    pad_rows = r_eff + 2
+    wp = _round_up(w + 2, 128)
+    wpd = _round_up(w, 128)
+
+    x_pad = jnp.pad(x, ((0, 0), (pad_rows, pad_rows), (1, wp - w - 1), (0, 0)))
+    iy = jnp.arange(h, dtype=jnp.float32)[None, :, None, None]
+    ix = jnp.arange(w, dtype=jnp.float32)[None, None, :, None]
+    kh = (jnp.arange(k, dtype=jnp.float32) // kernel_size - half) * dilation
+    kw = (jnp.arange(k, dtype=jnp.float32) % kernel_size - half) * dilation
+    dy = jnp.clip(offsets[..., 0::2].astype(jnp.float32),
+                  -float(max_dy), float(max_dy))
+    sy = iy + kh[None, None, None, :] + dy  # (b, h, w, k)
+    sx = ix + kw[None, None, None, :] + offsets[..., 1::2].astype(jnp.float32)
+    sy = jnp.moveaxis(sy, 3, 2)  # (b, h, k, w)
+    sx = jnp.moveaxis(sx, 3, 2)
+    pad_cols = ((0, 0), (0, 0), (0, 0), (0, wpd - w))
+    sy = jnp.pad(sy, pad_cols, constant_values=-1e9)
+    sx = jnp.pad(sx, pad_cols, constant_values=-1e9)
+
+    s = deform_sample_mt(x_pad, sy, sx, r_eff)  # (b, h, k, wpd, cin)
+    s = jnp.moveaxis(s[:, :, :, :w], 2, 3)  # (b, h, w, k, cin)
+    wk = weight.reshape(k * cin, cout).astype(x.dtype)
+    out = jnp.dot(
+        s.reshape(b * h * w, k * cin), wk, preferred_element_type=jnp.float32
+    ).astype(x.dtype).reshape(b, h, w, cout)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out

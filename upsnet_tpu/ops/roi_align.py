@@ -175,9 +175,200 @@ def _pyramid_meta(shapes, strides):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("pooled", "sampling_ratio", "strides", "chunk")
+    jax.jit,
+    static_argnames=("pooled", "sampling_ratio", "strides", "chunk", "impl"),
 )
 def fpn_roi_align_batched(
+    features: tuple[jnp.ndarray, ...],
+    rois: jnp.ndarray,
+    levels: jnp.ndarray,
+    pooled: int = 7,
+    sampling_ratio: int = 2,
+    strides: tuple[int, ...] = FPN_STRIDES[:4],
+    chunk: int = 1024,
+    impl: str = "gather",
+) -> jnp.ndarray:
+    """Batched fused ROIAlign — custom-VJP wrapper.
+
+    Forward: packed-corner gather (default) or dense separable-hat matmuls
+    (``impl='dense'``, `fpn_roi_align_dense`) — identical semantics,
+    different TPU cost model (latency-bound gather rows vs MXU FLOPs).
+    Backward: always dense separable-hat matmuls (`_fpn_roi_align_bwd`)
+    instead of XLA's row-serial scatter-add — the reference's CUDA ROIAlign
+    backward uses atomics (``upsnet/operators/src/roialign``); the TPU
+    equivalent is MXU accumulation, not scatter.
+    """
+    meta = tuple((tuple(f.shape), str(f.dtype)) for f in features)
+    return _roi_align_core(features, rois, levels, pooled, sampling_ratio,
+                           strides, chunk, meta, impl)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _roi_align_core(features, rois, levels, pooled, sampling_ratio, strides,
+                    chunk, meta, impl):
+    fwd = fpn_roi_align_dense if impl == "dense" else _fpn_roi_align_batched_impl
+    return fwd(features, rois, levels, pooled, sampling_ratio, strides, chunk)
+
+
+def _roi_align_core_fwd(features, rois, levels, pooled, sampling_ratio,
+                        strides, chunk, meta, impl):
+    fwd = fpn_roi_align_dense if impl == "dense" else _fpn_roi_align_batched_impl
+    out = fwd(features, rois, levels, pooled, sampling_ratio, strides, chunk)
+    return out, (rois, levels)
+
+
+def _roi_align_core_bwd(pooled, sampling_ratio, strides, chunk, meta, impl,
+                        res, g):
+    rois, levels = res
+    shapes = tuple(m[0] for m in meta)
+    dtypes = tuple(jnp.dtype(m[1]) for m in meta)
+    grads = _fpn_roi_align_bwd(
+        rois, levels, shapes, dtypes, g, pooled, sampling_ratio, strides
+    )
+    g_rois = jnp.zeros_like(rois)
+    g_lev = np.zeros(levels.shape, dtype=jax.dtypes.float0)
+    return grads, g_rois, g_lev
+
+
+_roi_align_core.defvjp(_roi_align_core_fwd, _roi_align_core_bwd)
+
+
+def _axis_hat(coords: jnp.ndarray, size: int, mask: jnp.ndarray, dtype):
+    """Dense per-axis bilinear weights with Detectron clamp semantics.
+
+    coords: (N, PS) sample positions on this axis. Returns (N, PS, size):
+    ``K[i, s, y] = 1[-1 <= c <= size] * max(0, 1 - |clip(c, 0, size-1) - y|)``
+    — exactly the forward's per-axis factor (clip covers the edge snap; the
+    outside-window indicator is separable because the forward's ``inside``
+    is an AND of per-axis conditions).
+    """
+    inside = (coords >= -1.0) & (coords <= float(size))
+    c = jnp.clip(coords, 0.0, float(size - 1))
+    grid = jnp.arange(size, dtype=coords.dtype)
+    k = jnp.maximum(1.0 - jnp.abs(c[..., None] - grid), 0.0)
+    k = k * (inside & mask[:, None])[..., None]
+    return k.astype(dtype)
+
+
+def _fpn_roi_align_bwd(rois, levels, shapes, dtypes, g, pooled: int,
+                       sampling_ratio: int, strides):
+    """grad wrt the feature pyramid: per level, accumulate
+    ``Ky^T @ g_samples @ Kx`` over ROI chunks (MXU matmuls, no scatter)."""
+    s = sampling_ratio
+    ps = pooled * s
+    bsz, r = rois.shape[:2]
+    n = bsz * r
+    rois_f = rois.reshape(n, 4)
+    lev_f = levels.reshape(n).astype(jnp.int32)
+
+    # samples grad: (B, R, P, P, C) -> (N, PS, PS, C), each bin's grad
+    # spread uniformly over its S^2 samples
+    c_dim = g.shape[-1]
+    gs = g.reshape(n, pooled, pooled, c_dim)
+    gs = jnp.repeat(jnp.repeat(gs, s, axis=1), s, axis=2) / float(s * s)
+
+    ck = min(64, r)
+    while r % ck:
+        ck -= 1
+    nck = r // ck
+    bidx = jnp.repeat(jnp.arange(bsz, dtype=jnp.int32), nck)
+
+    grads = []
+    for l, (shape, stride) in enumerate(zip(shapes, strides)):
+        _, h, w, c = shape
+        scale = 1.0 / stride
+        y, x = _sample_coords(rois_f * scale, 1.0, pooled, s)
+        sy = y[:, :, 0, :, 0].reshape(n, ps)  # (N, P, S) -> (N, PS)
+        sx = x[:, 0, :, 0, :].reshape(n, ps)
+        mask = lev_f == l
+        cdt = dtypes[l]
+        ky = _axis_hat(sy, h, mask, cdt).reshape(bsz * nck, ck, ps, h)
+        kx = _axis_hat(sx, w, mask, cdt).reshape(bsz * nck, ck, ps, w)
+        gs_l = gs.astype(cdt).reshape(bsz * nck, ck, ps, ps, c_dim)
+
+        def step(carry, xs):
+            ky_c, gs_c, kx_c, b = xs
+            # x-contraction first (batched small-K): v[k,s,c,w]
+            v = jnp.einsum("kstc,ktw->kscw", gs_c, kx_c)
+            # big matmul, (k,s)-leading on both operands -> no layout
+            # transposes: gl[h,c,w] = sum_{k,s} ky[k,s,h] v[k,s,c,w]
+            gl = jnp.einsum("ksh,kscw->hcw", ky_c, v,
+                            preferred_element_type=jnp.float32)
+            return carry.at[b].add(gl), None
+
+        # accumulate in (H, C, W) layout; transpose ONCE at the end
+        init = jnp.zeros((bsz, h, c, w), jnp.float32)
+        acc, _ = jax.lax.scan(step, init, (ky, gs_l, kx, bidx))
+        grads.append(jnp.moveaxis(acc, 2, 3).astype(cdt))
+    return tuple(grads)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pooled", "sampling_ratio", "strides", "chunk")
+)
+def fpn_roi_align_dense(
+    features: tuple[jnp.ndarray, ...],
+    rois: jnp.ndarray,
+    levels: jnp.ndarray,
+    pooled: int = 7,
+    sampling_ratio: int = 2,
+    strides: tuple[int, ...] = FPN_STRIDES[:4],
+    chunk: int = 64,
+) -> jnp.ndarray:
+    """Dense separable-hat ROIAlign forward: ``out_i = Ky_i @ F @ Kx_i^T``.
+
+    Same semantics as the packed-corner gather (cross-tested), but all
+    MXU matmuls instead of an XLA gather — per chunk of ROIs and level:
+    ``t = einsum(Ky, F)`` contracts the feature rows, then ``einsum(t, Kx)``
+    the columns, and the S x S sample grid average-pools to P x P bins.
+    ROIs not assigned to a level contribute zero via masked Ky. Gather cost
+    on TPU is per-row and latency-bound; this trades ~1.3x more FLOPs on
+    non-assigned levels for full systolic-array throughput.
+    """
+    s = sampling_ratio
+    ps = pooled * s
+    bsz, r = rois.shape[:2]
+    n = bsz * r
+    c_dim = features[0].shape[-1]
+    rois_f = rois.reshape(n, 4)
+    lev_f = levels.reshape(n).astype(jnp.int32)
+
+    ck = min(chunk, r)
+    while r % ck:
+        ck -= 1
+    nck = r // ck
+    bidx = jnp.repeat(jnp.arange(bsz, dtype=jnp.int32), nck)
+
+    out = jnp.zeros((bsz * nck, ck, ps, ps, c_dim), jnp.float32)
+    for l, (f, stride) in enumerate(zip(features, strides)):
+        _, h, w, _ = f.shape
+        y, x = _sample_coords(rois_f * (1.0 / stride), 1.0, pooled, s)
+        sy = y[:, :, 0, :, 0].reshape(n, ps)
+        sx = x[:, 0, :, 0, :].reshape(n, ps)
+        mask = lev_f == l
+        ky = _axis_hat(sy, h, mask, f.dtype).reshape(bsz * nck, ck, ps, h)
+        kx = _axis_hat(sx, w, mask, f.dtype).reshape(bsz * nck, ck, ps, w)
+
+        def step(carry, xs):
+            ky_c, kx_c, b, o = xs
+            fb = jax.lax.dynamic_index_in_dim(f, b, axis=0, keepdims=False)
+            # t[k,s,w,c] = sum_h ky[k,s,h] * F[h,w,c]
+            t = jnp.einsum("ksh,hwc->kswc", ky_c, fb)
+            o = o + jnp.einsum("kswc,ktw->kstc", t, kx_c,
+                               preferred_element_type=jnp.float32)
+            return carry, o
+
+        _, out = jax.lax.scan(step, 0, (ky, kx, bidx, out))
+    # average the S x S samples per bin
+    out = out.reshape(bsz * nck, ck, pooled, s, pooled, s, c_dim)
+    out = jnp.mean(out, axis=(3, 5))
+    return out.reshape(bsz, r, pooled, pooled, c_dim).astype(features[0].dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pooled", "sampling_ratio", "strides", "chunk")
+)
+def _fpn_roi_align_batched_impl(
     features: tuple[jnp.ndarray, ...],
     rois: jnp.ndarray,
     levels: jnp.ndarray,
