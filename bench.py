@@ -44,6 +44,7 @@ def main():
     params = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1,) + tuple(bucket) + (3,), jnp.float32)
     )["params"]
+    params = _perturb_offset_convs(params)
     anchors = tuple(
         jnp.asarray(a)
         for a in pyramid_anchors(tuple(bucket), scale=cfg.network.anchor_scale,
@@ -96,6 +97,41 @@ def main():
             train_ips / BASELINE_TRAIN_IMAGES_PER_SEC, 3
         )
     print(json.dumps(record))
+
+
+def _perturb_offset_convs(params):
+    """Give the zero-init DCN offset convs realistic trained magnitudes.
+
+    The deform kernels skip vertical candidates with no support per row,
+    so their cost is offset-dependent: all-zero offsets (the init state)
+    are the degenerate best case and would overstate throughput. Biasing
+    the offset convs to produce |offset| ~ 1-2 px fields reproduces the
+    magnitudes trained DCNv1 checkpoints show at 1/4 scale, making the
+    benchmark representative of inference with real weights.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+
+    def visit(tree, path=()):
+        if isinstance(tree, dict):
+            return {
+                k: visit(v, path + (k,)) for k, v in tree.items()
+            }
+        # bias-only: deterministic per-(tap, axis) offsets in [-2, 2] px,
+        # independent of activation scale, provably inside the +-max_dy
+        # window (so the bench measures the fast path, as a trained
+        # checkpoint would)
+        if path and path[-2] == "offset_conv" and path[-1] == "bias":
+            return jnp.asarray(
+                rng.uniform(-2.0, 2.0, tree.shape).astype(np.float32)
+            )
+        return tree
+
+    del jax
+    return visit(params)
 
 
 def _bench_train(cfg, model, params, anchors, bucket, batch_size):

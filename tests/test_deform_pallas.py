@@ -77,6 +77,32 @@ def test_pallas_gradients_flow(rng):
     assert float(jnp.abs(go).sum()) > 0
 
 
+def test_pallas_backward_matches_autodiff(rng):
+    """Hand-written per-tap backward kernel (incl. the candidate-skip range
+    loop) == autodiff of the exact gather impl; offsets inside the window
+    so the clip never binds."""
+    x = rng.randn(1, 8, 12, 8).astype(np.float32)
+    offsets = (rng.randn(1, 8, 12, 18) * 1.2).astype(np.float32)
+    weight = rng.randn(9, 8, 8).astype(np.float32) * 0.1
+
+    def loss_exact(x, o, w_):
+        out = deform_conv2d_batched(x, o, w_)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    def loss_pl(x, o, w_):
+        out = dcp.deform_conv2d_pallas(x, o, w_, max_dy=6)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    args = (jnp.asarray(x), jnp.asarray(offsets), jnp.asarray(weight))
+    g_ref = jax.grad(loss_exact, argnums=(0, 1, 2))(*args)
+    g_pl = jax.grad(loss_pl, argnums=(0, 1, 2))(*args)
+    for a, b, name in zip(g_pl, g_ref, ("x", "offsets", "weight")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-3,
+            err_msg=f"grad wrt {name}",
+        )
+
+
 def test_tiled_sample_matches_ref(rng):
     b, h, w, c = 1, 8, 512, 128  # wide: 2 column tiles
     r, dx = 3, 3

@@ -79,14 +79,21 @@ def main():
         print(f"sample_pallas r={r} (a_n={a_n}): {t*1e3:7.1f} ms  "
               f"eff {fl/t/1e12:6.1f} TFLOP/s")
 
-    # --- full layer (9 taps incl. projection + pads) -----------------------
+    # --- full layer (9 taps incl. projection + pads) ----------------------
+    # offset scale sweep: the kernels skip vertical candidates with no
+    # support in a row (@pl.when), so cost is data-dependent — trained
+    # offsets concentrate near 0 (zero-init offset convs), random +-6 is
+    # the worst case.
     x = jax.random.normal(key, (b, h, w, c), jnp.bfloat16)
-    offsets = jax.random.normal(key, (b, h, w, 18), jnp.float32) * 2.0
     weight = jax.random.normal(key, (9, c, c), jnp.float32) * 0.05
     fn = jax.jit(lambda x, o, w_: deform_conv2d_pallas(x, o, w_, None, 3, 1,
                                                        max_dy=6))
-    t = timed(fn, x, offsets, weight)
-    print(f"full layer (9 taps, max_dy=6): {t*1e3:7.1f} ms")
+    for scale in (6.0, 2.0, 0.5, 0.0):
+        offsets = jax.random.uniform(
+            key, (b, h, w, 18), jnp.float32, -scale, scale)
+        t = timed(fn, x, offsets, weight)
+        print(f"full layer (9 taps, max_dy=6, |off|<={scale}): "
+              f"{t*1e3:7.1f} ms")
 
     # --- projection-only glue ---------------------------------------------
     @jax.jit
