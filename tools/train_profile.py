@@ -57,6 +57,10 @@ def main():
     ap.add_argument("--no-remat", dest="remat", action="store_false")
     ap.add_argument("--skip-full", action="store_true",
                     help="only the deform microbenches")
+    ap.add_argument("--stages", action="store_true",
+                    help="attribute train-forward cost by head ablation")
+    ap.add_argument("--skip-micro", action="store_true",
+                    help="skip the deform/roialign microbenches")
     args = ap.parse_args()
 
     import jax
@@ -66,6 +70,15 @@ def main():
 
     print(f"backend={jax.default_backend()} devices={jax.devices()}")
 
+    if not args.skip_micro:
+        _microbench(args, jax, jnp)
+
+    if args.skip_full:
+        return
+    _full_step(args, jax, jnp)
+
+
+def _microbench(args, jax, jnp):
     # --- deform sample fwd/bwd microbench (the dominant train cost) -------
     b, h, w, c = args.batch, 208, 336, 128
     key = jax.random.PRNGKey(0)
@@ -135,8 +148,19 @@ def main():
         print(f"roialign b{b}: fwd {t_f*1e3:7.1f} ms   grad FAILED "
               f"({type(e).__name__})")
 
-    if args.skip_full:
-        return
+    # free the microbench device buffers + compiled executables before the
+    # full step — keeping them live OOMs the b8 step (RESOURCE_EXHAUSTED)
+    del x, offsets, weight, pyramid, rois, lv, fwd, gr, roi_fwd, roi_bwd
+    jax.clear_caches()
+    import gc
+
+    gc.collect()
+
+
+def _full_step(args, jax, jnp):
+    import gc
+
+    from upsnet_tpu.config import default_config
 
     # --- full train step: fwd loss vs grad --------------------------------
     from upsnet_tpu.data.synthetic import SyntheticDataset
@@ -165,11 +189,14 @@ def main():
              if k in ("images", "im_hw", "gt_boxes", "gt_classes", "gt_valid",
                       "gt_masks", "seg_gt", "crowd_boxes", "crowd_valid")}
 
-    def loss_fn(p, batch, k, eps):
-        batch = dict(batch, images=batch["images"] + eps)
-        total, _ = forward_train(model, p, cfg, anchors, batch, k)
-        return total
+    def make_loss(cfg):
+        def loss_fn(p, batch, k, eps):
+            batch = dict(batch, images=batch["images"] + eps)
+            total, _ = forward_train(model, p, cfg, anchors, batch, k)
+            return total
+        return loss_fn
 
+    loss_fn = make_loss(cfg)
     fwd = jax.jit(loss_fn)
     grad = jax.jit(jax.grad(loss_fn))
     k = jax.random.PRNGKey(1)
@@ -185,6 +212,43 @@ def main():
           f"remat={cfg.train.remat}: loss-only {t_f*1e3:7.1f} ms   "
           f"grad {t_g*1e3:7.1f} ms   ratio {t_g/t_f:4.1f}x   "
           f"train {args.batch/t_g:5.2f} img/s")
+
+    if args.stages:
+        # attribute the train-forward cost by ablating heads (the model
+        # ignores absent-head params, so one init serves all variants)
+        def extract_loss(p, batch, k, eps):
+            images = batch["images"] + eps
+            outs = model.apply({"params": p}, images, method="extract")
+            return sum(jnp.sum(o.astype(jnp.float32) ** 2)
+                       for o in jax.tree.leaves(outs))
+
+        f_e = jax.jit(extract_loss)
+        try:
+            t_e = timed(f_e, params, batch, k, np.float32(0), n=3,
+                        warmup=1, perturb=3)
+            print(f"  extract only (backbone+fpn+rpn+fcn): {t_e*1e3:7.1f} ms")
+        except Exception as e:
+            print(f"  extract only: FAILED ({type(e).__name__})")
+        del f_e
+        jax.clear_caches()
+        gc.collect()
+        for label, net_kw in (
+            ("  -panoptic branch", {"has_panoptic_head": False}),
+            ("  -fcn (+panoptic)", {"has_panoptic_head": False,
+                                    "has_fcn_head": False}),
+        ):
+            cfg_a = cfg.replace(network=dataclasses.replace(
+                cfg.network, **net_kw))
+            f_a = jax.jit(make_loss(cfg_a))
+            try:
+                t_a = timed(f_a, params, batch, k, np.float32(0), n=3,
+                            warmup=1, perturb=3)
+                print(f"{label}: loss-only {t_a*1e3:7.1f} ms")
+            except Exception as e:
+                print(f"{label}: FAILED ({type(e).__name__})")
+            del f_a
+            jax.clear_caches()
+            gc.collect()
     try:
         m = grad.lower(params, batch, k, np.float32(0)).compile().memory_analysis()
         print(f"grad memory: temp {m.temp_size_in_bytes/2**30:.2f} GiB  "
