@@ -47,6 +47,15 @@ class NetworkConfig:
     # 'mxu' (both exact for |dy| <= dcn_max_dy, offsets clipped to the
     # window) | 'gather' (unbounded-exact; simplest gradients)
     dcn_impl: str = "auto"
+    # DCN impl for the TRAIN step only ("" = same as dcn_impl). Default
+    # 'pallas': compiling auto's exact-gather branch into the rematted
+    # backward costs ~6 GiB HBM + ~29% step time even when never taken
+    # (measured b8: grad 1.71s/21.1G auto vs 1.33s/14.9G pallas). Training
+    # then clips offsets to the +-dcn_max_dy window (zero gradient
+    # beyond) — offsets learned from zero-init stay well inside at 1/4
+    # scale; from-scratch small-image configs should set 'gather'
+    # (see experiments/upsnet_tiny_synthetic.yaml).
+    dcn_impl_train: str = "pallas"
     dcn_max_dy: int = 6
     # ROIAlign forward: 'gather' (packed-corner XLA gather) or 'dense'
     # (separable-hat MXU matmuls, ops/roi_align.fpn_roi_align_dense);

@@ -17,6 +17,18 @@ def make_train_step(model, cfg: Config, anchors, optimizer, mesh: Mesh | None = 
     opt_state, metrics). When a mesh is given, in/out shardings pin params
     replicated and the batch split on the 'data' axis; XLA inserts the
     gradient all-reduce (the reference's NCCL DDP hook, SURVEY.md §2.6)."""
+    import dataclasses
+
+    net = cfg.network
+    impl_train = net.dcn_impl_train or net.dcn_impl
+    if impl_train != net.dcn_impl and hasattr(model, "dcn_impl"):
+        # train-step DCN impl differs from inference (see NetworkConfig.
+        # dcn_impl_train): clone the module with the train impl — the
+        # param tree is impl-independent, so checkpoints interoperate
+        cfg = cfg.replace(
+            network=dataclasses.replace(net, dcn_impl=impl_train)
+        )
+        model = model.clone(dcn_impl=impl_train)
 
     def step_fn(params, opt_state, batch, key):
         def loss_fn(p):
