@@ -45,6 +45,7 @@ def test_process_loader_worker_count_invariance():
 
 
 def test_process_loader_early_close_releases_shm():
+    pre = set(glob.glob("/dev/shm/upsnet_*"))  # stale junk from other runs
     ds = _dataset(16)
     loader = ProcessLoader(ds, batch_size=2, epochs=None, seed=1, num_workers=2)
     it = iter(loader)
@@ -54,11 +55,11 @@ def test_process_loader_early_close_releases_shm():
     # forked workers terminated + all published segments unlinked
     deadline = time.time() + 10
     while time.time() < deadline:
-        leaked = glob.glob("/dev/shm/upsnet_*")
+        leaked = set(glob.glob("/dev/shm/upsnet_*")) - pre
         if not leaked:
             break
         time.sleep(0.2)
-    assert not leaked, f"leaked shm segments: {leaked}"
+    assert not leaked, f"leaked shm segments: {sorted(leaked)}"
 
 
 def test_make_loader_factory():

@@ -64,7 +64,7 @@ def main():
          jnp.maximum(rois[..., :2], rois[..., 2:]) + 16], -1)
     lv = jax.random.randint(key, (b, args.rois), 0, 4)
 
-    for impl in ("gather", "dense"):
+    for impl in ("gather", "dense", "window"):
         fwd = jax.jit(lambda py, r, l, impl=impl: fpn_roi_align_batched(
             py, r, l, pooled=p, impl=impl))
         t = timed(fwd, pyramid, rois, lv, perturb=1)

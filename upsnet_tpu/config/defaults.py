@@ -57,11 +57,12 @@ class NetworkConfig:
     # (see experiments/upsnet_tiny_synthetic.yaml).
     dcn_impl_train: str = "pallas"
     dcn_max_dy: int = 6
-    # ROIAlign forward: 'gather' (packed-corner XLA gather) or 'dense'
-    # (separable-hat MXU matmuls, ops/roi_align.fpn_roi_align_dense);
-    # identical semantics, different TPU cost model. Backward is always
-    # the dense custom VJP.
-    roi_align_impl: str = "gather"
+    # ROIAlign forward: 'window' (Pallas per-RoI window DMA + joint-hat
+    # matmul, ops/roi_align_pallas — ~1.7x the gather path at predict
+    # sizes; falls back to gather off-TPU), 'gather' (packed-corner XLA
+    # gather), or 'dense' (separable-hat MXU matmuls). Identical
+    # semantics; backward is always the dense custom VJP.
+    roi_align_impl: str = "window"
     # backbone norm: 'frozen_bn' (reference; needs pretrained stats) or
     # 'gn' (GroupNorm; trainable, stable from scratch)
     norm: str = "frozen_bn"

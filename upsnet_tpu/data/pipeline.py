@@ -300,9 +300,13 @@ class ProcessLoader(_LoaderBase):
                             pass
             for p in procs:
                 p.join(timeout=2)
+                if p.is_alive():  # survived SIGTERM (e.g. blocked in a
+                    p.kill()      # full-pipe write) — escalate, else it
+                    p.join(timeout=5)  # publishes segments after our sweep
             # queue items can be lost mid-pipe at terminate(); the segments
             # are tracker-unregistered (ownership moved to us), so sweep the
-            # run's namespace directly (Linux shm lives in /dev/shm).
+            # run's namespace directly (Linux shm lives in /dev/shm) — only
+            # after every worker is confirmed dead.
             import os
 
             for path in sorted(glob_mod.glob(f"/dev/shm/upsnet_{run_id}_*")):

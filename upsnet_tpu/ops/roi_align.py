@@ -203,17 +203,31 @@ def fpn_roi_align_batched(
                            strides, chunk, meta, impl)
 
 
+def _fwd_impl(impl):
+    if impl == "dense":
+        return fpn_roi_align_dense
+    if impl == "window" and jax.default_backend() in ("tpu", "axon"):
+        from upsnet_tpu.ops.roi_align_pallas import fpn_roi_align_window
+
+        return lambda f, r, l, p, sr, st, chunk: fpn_roi_align_window(
+            f, r, l, p, sr, st
+        )
+    return _fpn_roi_align_batched_impl
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def _roi_align_core(features, rois, levels, pooled, sampling_ratio, strides,
                     chunk, meta, impl):
-    fwd = fpn_roi_align_dense if impl == "dense" else _fpn_roi_align_batched_impl
-    return fwd(features, rois, levels, pooled, sampling_ratio, strides, chunk)
+    return _fwd_impl(impl)(
+        features, rois, levels, pooled, sampling_ratio, strides, chunk
+    )
 
 
 def _roi_align_core_fwd(features, rois, levels, pooled, sampling_ratio,
                         strides, chunk, meta, impl):
-    fwd = fpn_roi_align_dense if impl == "dense" else _fpn_roi_align_batched_impl
-    out = fwd(features, rois, levels, pooled, sampling_ratio, strides, chunk)
+    out = _fwd_impl(impl)(
+        features, rois, levels, pooled, sampling_ratio, strides, chunk
+    )
     return out, (rois, levels)
 
 
