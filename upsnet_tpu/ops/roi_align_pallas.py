@@ -236,6 +236,14 @@ def fpn_roi_align_window(
     Same semantics/returns as `roi_align.fpn_roi_align_batched` (forward
     only — the dense custom VJP handles gradients).
     """
+    if any(f.shape[2] < 9 for f in features):
+        # degenerate pyramid (tiny test configs: P5 can be 4x4) — the
+        # window/strip machinery needs >= 9 columns; use the gather impl
+        from upsnet_tpu.ops.roi_align import _fpn_roi_align_batched_impl
+
+        return _fpn_roi_align_batched_impl(
+            features, rois, levels, pooled, sampling_ratio, strides, 1024
+        )
     s = sampling_ratio
     ps = pooled * s
     bsz, r_n = rois.shape[:2]
