@@ -136,6 +136,39 @@ def test_tiled_deform_conv_matches_exact(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(exact), atol=2e-3)
 
 
+def test_tiled_p2_width_fwd_bwd_matches_exact(rng):
+    """w=336 (COCO P2) routes through the banded column tiles (ct=168);
+    fwd + the hand-written tiled backward vs the exact gather impl."""
+    x = rng.randn(1, 8, 336, 16).astype(np.float32)
+    offsets = (rng.randn(1, 8, 336, 18) * 1.2).astype(np.float32)
+    weight = rng.randn(9, 16, 128).astype(np.float32) * 0.1
+    assert dcp._col_tile(336, 6, 1) == (168, 192)
+    exact = deform_conv2d_batched(
+        jnp.asarray(x), jnp.asarray(offsets), jnp.asarray(weight)
+    )
+    got = dcp._deform_conv2d_pallas_tiled(
+        jnp.asarray(x), jnp.asarray(offsets), jnp.asarray(weight), None,
+        3, 1, 6, 6,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exact), atol=2e-3)
+
+    def loss_exact(x, o, w_):
+        return jnp.sum(deform_conv2d_batched(x, o, w_) ** 2)
+
+    def loss_tiled(x, o, w_):
+        return jnp.sum(dcp._deform_conv2d_pallas_tiled(
+            x, o, w_, None, 3, 1, 6, 6) ** 2)
+
+    args = (jnp.asarray(x), jnp.asarray(offsets), jnp.asarray(weight))
+    g_ref = jax.grad(loss_exact, argnums=(0, 1, 2))(*args)
+    g_t = jax.grad(loss_tiled, argnums=(0, 1, 2))(*args)
+    for a, b, name in zip(g_t, g_ref, ("x", "offsets", "weight")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-3,
+            err_msg=f"grad wrt {name}",
+        )
+
+
 def test_mt_forward_matches_exact(rng):
     """Sample-first multi-tap kernel == exact gather deform conv.
     (offset scale keeps |dy| < max_dy: the exact impl never clips)"""

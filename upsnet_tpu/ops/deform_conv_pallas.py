@@ -41,7 +41,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _sample_kernel(sy_ref, sx_ref, y_hbm, out_ref, win, sem, *,
-                   h: int, w: int, wp: int, c: int, r: int):
+                   h: int, w: int, wp: int, c: int, r: int, rb: int):
     """One (batch, row-block) program — separable-hat formulation.
 
     Everything is built in "transposed" orientation — weight rows on
@@ -70,9 +70,9 @@ def _sample_kernel(sy_ref, sx_ref, y_hbm, out_ref, win, sem, *,
     candidate's vy row is identically zero.
     """
     rb_idx = pl.program_id(1)
-    i0 = rb_idx * RB
+    i0 = rb_idx * rb
     a_n = 2 * r + 3
-    win_rows = RB + 2 * r + 2
+    win_rows = rb + 2 * r + 2
 
     b_idx = pl.program_id(0)
     dma = pltpu.make_async_copy(
@@ -87,7 +87,7 @@ def _sample_kernel(sy_ref, sx_ref, y_hbm, out_ref, win, sem, *,
     )
     dma.wait()
 
-    for li in range(RB):
+    for li in range(rb):
         sy_r = sy_ref[0, li:li + 1, :]  # (1, w)
         sx_r = sx_ref[0, li:li + 1, :]
         inside = (
@@ -135,72 +135,111 @@ def _sample_pallas(y_pad, sy, sx, max_dy: int):
     b, hpad, wp, c = y_pad.shape
     _, h, w = sy.shape
     r = max_dy
-    n_blocks = h // RB
-    assert h % RB == 0, (h, RB)
-    win_rows = RB + 2 * r + 2
+    # rows per program: fixed per-program overhead (~16us: DMA issue +
+    # scaffolding) dominates this kernel, so take the largest block the
+    # shape allows (h=208 flagship -> 52; small test shapes stay at 8)
+    rb = RB
+    for cand in (104, 16):  # must be %8 (sublane block rule) and divide h
+        if h % cand == 0 and h > cand:
+            win_b = (cand + 2 * r + 2) * wp * c * y_pad.dtype.itemsize
+            out_b = cand * w * c * y_pad.dtype.itemsize
+            if win_b + 3 * out_b < 48 * 1024 * 1024:
+                rb = cand
+                break
+    n_blocks = h // rb
+    assert h % rb == 0, (h, rb)
+    win_rows = rb + 2 * r + 2
     a_n = 2 * r + 3
 
     kernel = functools.partial(
-        _sample_kernel, h=h, w=w, wp=wp, c=c, r=r
+        _sample_kernel, h=h, w=w, wp=wp, c=c, r=r, rb=rb
     )
     return pl.pallas_call(
         kernel,
         grid=(b, n_blocks),
         in_specs=[
-            pl.BlockSpec((1, RB, w), lambda bi, ri: (bi, ri, 0),
+            pl.BlockSpec((1, rb, w), lambda bi, ri: (bi, ri, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, RB, w), lambda bi, ri: (bi, ri, 0),
+            pl.BlockSpec((1, rb, w), lambda bi, ri: (bi, ri, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # y_pad stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # y_pad stays in HBM
         ],
-        out_specs=pl.BlockSpec((1, RB, w, c), lambda bi, ri: (bi, ri, 0, 0),
+        out_specs=pl.BlockSpec((1, rb, w, c), lambda bi, ri: (bi, ri, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), y_pad.dtype),
         scratch_shapes=[
             pltpu.VMEM((win_rows, wp, c), y_pad.dtype),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,  # v5e VMEM is 128MB
+        ),
     )(sy, sx, y_pad)
 
 
-CT = 256  # output columns per program in the column-tiled kernel
-CTW = 384  # source-column window (CT + 2*max_dx + 4, rounded to 128)
+CT = 256  # default output columns per program in the column-tiled kernel
+CTW = 384  # its source-column window (CT + 2*max_dx + 4, rounded to 128)
+
+
+def _col_tile(w: int, max_dx: int, dilation: int) -> tuple[int, int] | None:
+    """Pick (ct, ctw) for the column-tiled kernel, or None.
+
+    ct must divide w (so every program covers a full block), be 8-aligned
+    (the DMA column start lands on the sublane-tiled dim), and >= 128 (MXU
+    lane width). The LARGEST eligible ct minimizes the program count —
+    per-program fixed overhead (~16us) dominates these kernels, so fewer,
+    bigger programs win (measured: banding w=336 into 168-col blocks was
+    ~1.75x slower than untiled despite 3.5x less VPU hat-build work).
+    """
+    halo = 2 * (max_dx + dilation + 2)
+    best = None
+    for ct in range(128, min(w, 257), 8):
+        if w % ct == 0:
+            best = ct
+    if best is None:
+        return None
+    return best, _round_up(best + halo, 8)
 
 
 def _sample_kernel_tiled(sy_ref, sx_ref, y_hbm, out_ref, win, sem, *,
-                         h: int, w: int, c: int, r: int, max_dx: int):
+                         h: int, w: int, c: int, r: int, max_dx: int,
+                         ct: int, ctw: int):
     """Column-tiled variant: grid (batch, row blocks, col blocks).
 
-    Same separable-hat math as _sample_kernel, but each program covers CT
-    output columns and DMAs only its (win_rows, CTW) source window — VMEM
+    Same separable-hat math as _sample_kernel, but each program covers ct
+    output columns and DMAs only its (win_rows, ctw) source window — VMEM
     stays bounded for arbitrarily wide inputs (Cityscapes 512+, multi-scale
-    1024-wide quarter-res maps). Requires |dx| <= max_dx (offsets are
-    pre-clipped in the wrapper, mirroring the vertical clamp).
+    1024-wide quarter-res maps) and the horizontal hat build shrinks to the
+    |dx| <= max_dx band (offsets are pre-clipped in the wrapper, mirroring
+    the vertical clamp; the auto wrapper routes larger offsets to the exact
+    path).
     """
     rb_idx = pl.program_id(1)
     cb_idx = pl.program_id(2)
     i0 = rb_idx * RB
-    c0 = cb_idx * CT
+    c0 = cb_idx * ct
     a_n = 2 * r + 3
     win_rows = RB + 2 * r + 2
 
     b_idx = pl.program_id(0)
     dma = pltpu.make_async_copy(
-        y_hbm.at[b_idx, pl.ds(i0 + 1, win_rows), pl.ds(c0, CTW)], win, sem
+        y_hbm.at[b_idx, pl.ds(i0 + 1, win_rows), pl.ds(c0, ctw)], win, sem
     )
     dma.start()
 
     # window col q holds global column coordinate c0 + q - (max_dx + 2)
     cols_t = (
-        jax.lax.broadcasted_iota(jnp.int32, (CTW, CT), 0).astype(jnp.float32)
-        + jnp.float32(c0 * 1.0)
+        jax.lax.broadcasted_iota(jnp.int32, (ctw, ct), 0).astype(jnp.float32)
+        + c0.astype(jnp.float32)
         - (max_dx + 2.0)
     )
     dma.wait()
 
     for li in range(RB):
-        sy_r = sy_ref[0, li:li + 1, :]  # (1, CT)
-        sx_r = sx_ref[0, li:li + 1, :]
+        # coords arrive as (1, RB, nct, ct); pick this program's column
+        # block with a dynamic SUBLANE index (ct need not divide 128)
+        sy_r = sy_ref[0, li, pl.dslice(cb_idx, 1), :]  # (1, ct)
+        sx_r = sx_ref[0, li, pl.dslice(cb_idx, 1), :]
         inside = (
             (sy_r > -1.0) & (sy_r < float(h))
             & (sx_r > -1.0) & (sx_r < float(w))
@@ -228,42 +267,53 @@ def _sample_kernel_tiled(sy_ref, sx_ref, y_hbm, out_ref, win, sem, *,
             )
 
         acc = jax.lax.fori_loop(
-            a_lo, a_hi + 1, body, jnp.zeros((CT, c), jnp.float32)
+            a_lo, a_hi + 1, body, jnp.zeros((ct, c), jnp.float32)
         )
         out_ref[0, li] = acc.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("max_dy", "max_dx"))
-def _sample_pallas_tiled(y_pad, sy, sx, max_dy: int, max_dx: int):
-    """Column-tiled sampling. y_pad (B, Hpad, w + CTW - CT + left/right
-    padding laid out by the wrapper, C); w % CT == 0."""
+@functools.partial(
+    jax.jit, static_argnames=("max_dy", "max_dx", "ct", "ctw")
+)
+def _sample_pallas_tiled(y_pad, sy, sx, max_dy: int, max_dx: int,
+                         ct: int = CT, ctw: int = CTW):
+    """Column-tiled sampling. y_pad (B, Hpad, w + ctw - ct with left/right
+    padding laid out by the wrapper, C); w % ct == 0."""
     b, hpad, wp2, c = y_pad.shape
     _, h, w = sy.shape
     r = max_dy
-    assert h % RB == 0 and w % CT == 0, (h, w)
+    assert h % RB == 0 and w % ct == 0, (h, w, ct)
+    nct = w // ct
+    # (B, H, nct, ct) coord layout: the TPU lane-dim block rule requires
+    # the last dim be %128 or the full array dim — ct is only %8, so give
+    # every program the full (nct, ct) trailing block and let the kernel
+    # pick its column block by dynamic sublane index (RB*w floats, ~10KB)
+    sy4 = sy.reshape(b, h, nct, ct)
+    sx4 = sx.reshape(b, h, nct, ct)
     kernel = functools.partial(
-        _sample_kernel_tiled, h=h, w=w, c=c, r=r, max_dx=max_dx
+        _sample_kernel_tiled, h=h, w=w, c=c, r=r, max_dx=max_dx,
+        ct=ct, ctw=ctw,
     )
     return pl.pallas_call(
         kernel,
-        grid=(b, h // RB, w // CT),
+        grid=(b, h // RB, nct),
         in_specs=[
-            pl.BlockSpec((1, RB, CT), lambda bi, ri, ci: (bi, ri, ci),
+            pl.BlockSpec((1, RB, nct, ct), lambda bi, ri, ci: (bi, ri, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, RB, CT), lambda bi, ri, ci: (bi, ri, ci),
+            pl.BlockSpec((1, RB, nct, ct), lambda bi, ri, ci: (bi, ri, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, RB, CT, c), lambda bi, ri, ci: (bi, ri, ci, 0),
+            (1, RB, ct, c), lambda bi, ri, ci: (bi, ri, ci, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), y_pad.dtype),
         scratch_shapes=[
-            pltpu.VMEM((RB + 2 * r + 2, CTW, c), y_pad.dtype),
+            pltpu.VMEM((RB + 2 * r + 2, ctw, c), y_pad.dtype),
             pltpu.SemaphoreType.DMA,
         ],
-    )(sy, sx, y_pad)
+    )(sy4, sx4, y_pad)
 
 
 def _sample_ref(y_pad, sy, sx, max_dy: int, col_off: int = 1):
@@ -314,7 +364,8 @@ def _sample_ref(y_pad, sy, sx, max_dy: int, col_off: int = 1):
 
 def _sample_bwd_kernel(sy_ref, sx_ref, g_ref, y_hbm, gwin_ref, gsy_ref,
                        gsx_ref, win, gwin_acc, sem, *, h: int,
-                       w: int, wp: int, c: int, r: int, win_pad: int):
+                       w: int, wp: int, c: int, r: int, win_pad: int,
+                       col_off: int):
     rb_idx = pl.program_id(1)
     i0 = rb_idx * RB
     a_n = 2 * r + 3
@@ -328,7 +379,7 @@ def _sample_bwd_kernel(sy_ref, sx_ref, g_ref, y_hbm, gwin_ref, gsy_ref,
 
     cols_t = (
         jax.lax.broadcasted_iota(jnp.int32, (wp, w), 0).astype(jnp.float32)
-        - 1.0
+        - jnp.float32(col_off)
     )
     gwin_acc[...] = jnp.zeros((win_pad, wp, c), jnp.float32)
     dma.wait()
@@ -391,9 +442,12 @@ def _sample_bwd_kernel(sy_ref, sx_ref, g_ref, y_hbm, gwin_ref, gsy_ref,
     gwin_ref[0, 0] = gwin_acc[...].astype(gwin_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("max_dy",))
-def _sample_pallas_bwd(y_pad, sy, sx, g, max_dy: int):
-    """Backward of _sample_pallas. Returns (grad_y_pad, grad_sy, grad_sx)."""
+@functools.partial(jax.jit, static_argnames=("max_dy", "col_off"))
+def _sample_pallas_bwd(y_pad, sy, sx, g, max_dy: int, col_off: int = 1):
+    """Backward of _sample_pallas (and, with col_off = max_dx + 2, of the
+    column-tiled forward — the bwd kernel processes full rows, whose VMEM
+    footprint stays small even at Cityscapes widths). Returns
+    (grad_y_pad, grad_sy, grad_sx)."""
     b, hpad, wp, c = y_pad.shape
     _, h, w = sy.shape
     r = max_dy
@@ -402,7 +456,8 @@ def _sample_pallas_bwd(y_pad, sy, sx, g, max_dy: int):
     win_pad = _round_up(win_rows, RB)
 
     kernel = functools.partial(
-        _sample_bwd_kernel, h=h, w=w, wp=wp, c=c, r=r, win_pad=win_pad
+        _sample_bwd_kernel, h=h, w=w, wp=wp, c=c, r=r, win_pad=win_pad,
+        col_off=col_off,
     )
     gwin, gsy, gsx = pl.pallas_call(
         kernel,
@@ -474,22 +529,22 @@ def _bwd(max_dy, res, g):
 deform_sample.defvjp(_fwd, _bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def deform_sample_tiled(y_pad, sy, sx, max_dy: int, max_dx: int):
-    return _sample_pallas_tiled(y_pad, sy, sx, max_dy, max_dx)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def deform_sample_tiled(y_pad, sy, sx, max_dy: int, max_dx: int,
+                        ct: int = CT, ctw: int = CTW):
+    return _sample_pallas_tiled(y_pad, sy, sx, max_dy, max_dx, ct, ctw)
 
 
-def _fwd_t(y_pad, sy, sx, max_dy, max_dx):
-    return _sample_pallas_tiled(y_pad, sy, sx, max_dy, max_dx), (y_pad, sy, sx)
+def _fwd_t(y_pad, sy, sx, max_dy, max_dx, ct, ctw):
+    out = _sample_pallas_tiled(y_pad, sy, sx, max_dy, max_dx, ct, ctw)
+    return out, (y_pad, sy, sx)
 
 
-def _bwd_t(max_dy, max_dx, res, g):
+def _bwd_t(max_dy, max_dx, ct, ctw, res, g):
+    # the hand-written full-row backward kernel, with the tiled layout's
+    # column origin (left pad = max_dx + 2)
     y_pad, sy, sx = res
-    _, vjp = jax.vjp(
-        lambda a, b_, c_: _sample_ref(a, b_, c_, max_dy, col_off=max_dx + 2),
-        y_pad, sy, sx,
-    )
-    return vjp(g)
+    return _sample_pallas_bwd(y_pad, sy, sx, g, max_dy, col_off=max_dx + 2)
 
 
 deform_sample_tiled.defvjp(_fwd_t, _bwd_t)
@@ -506,53 +561,33 @@ def pallas_route(shape, cout: int, max_dy: int, dilation: int):
     """
     b, h, w, cin = shape
     wp_ = _round_up(w + 2, 128)
-    # Multi-tap sample-first kernel (preferred): one window DMA + merged
-    # (wp, 9*Wpd) matmuls. Budget: window + hx stack + double-buffered out
-    # block + f32 accumulator/part staging, all ~13MB.
-    wpd_ = _round_up(w, 128)
-    k_taps = 9
-    win_rows_mt = MT_RB + 2 * (max_dy + dilation) + 2
-    mt_est = (
-        win_rows_mt * wp_ * cin * 2  # window (bf16, CIN channels)
-        + wp_ * k_taps * wpd_ * 2  # hx stack
-        + 2 * MT_RB * k_taps * wpd_ * cin * 2  # out block, double-buffered
-        + 2 * k_taps * wpd_ * cin * 4  # acc + part f32
-    )
     on_tpu = jax.default_backend() in ("tpu", "axon")
     # NOTE: the mt (sample-first joint-K) kernel measured SLOWER than the
     # per-tap kernel at flagship shapes (117 vs 101 ms/layer b8 P2): every
     # hat-matmul formulation is bound by materializing the joint bilinear
-    # weights through the VPU (~75GB VMEM traffic per layer), and the
-    # per-tap variant already sits at that floor with the smallest
-    # constant. Keep "mt" available via deform_conv2d_pallas_mt (tested,
-    # exact) but do not route to it by default.
-    del mt_est
-    # VMEM budget: halo window + per-row hat matrix (f32 + bf16 matmul
-    # operand) + f32 accumulator + out block must fit ~16MB. The separable
-    # kernel dropped the (a_n*wp, w) joint weight matrix, so Cityscapes-
-    # width rows (wp 640) now take the untiled EXACT path (no |dx| clip).
+    # weights through the VPU, and the per-tap variant already sits at
+    # that floor with the smallest constant. Keep "mt" available via
+    # deform_conv2d_pallas_mt (tested, exact) but do not route to it.
+    if not on_tpu or h % RB != 0 or cout % 128 != 0:
+        return "mxu", None
+    max_dx = max_dy  # same clip both axes; the tiled ctw is sized to fit
+    tile = _col_tile(w, max_dx, dilation)
+    # VMEM budget for the untiled kernel: halo window + per-row hat matrix
+    # (f32 + bf16 matmul operand) + f32 accumulator + out block, ~16MB cap.
     vmem_est = (
         (RB + 2 * (max_dy + dilation) + 2) * wp_ * cout * 2  # window
         + wp_ * w * 6  # hx f32 + bf16 operand
         + w * cout * 4  # accumulator
         + RB * w * cout * 4  # out block
     )
-    max_dx = min(max_dy, (CTW - CT - 4) // 2)
-    if (
-        on_tpu
-        and h % RB == 0
-        and cout % 128 == 0
-        and vmem_est > 13 * 1024 * 1024
-        and w % CT == 0
-    ):
-        return "tiled", max_dx
-    if (
-        not on_tpu
-        or h % RB != 0
-        or cout % 128 != 0
-        or vmem_est > 13 * 1024 * 1024
-    ):
-        return "mxu", None
+    # Column tiling is the VMEM fallback only: banding the horizontal hat
+    # at w=336 measured SLOWER (107 vs 61 ms/layer at zero offsets) — the
+    # kernel cost is dominated by per-PROGRAM fixed overhead (~16us: DMA
+    # issue + scaffolding), not the VPU hat build, and tiling doubles the
+    # program count. (The tiled path still beats the old XLA-vjp backward:
+    # it now shares the hand-written full-row backward kernel.)
+    if vmem_est > 13 * 1024 * 1024:
+        return ("tiled", max_dx) if tile is not None else ("mxu", None)
     return "untiled", None
 
 
@@ -630,8 +665,8 @@ def deform_conv2d_pallas(
 
 def _deform_conv2d_pallas_tiled(x, offsets, weight, bias, kernel_size,
                                 dilation, max_dy, max_dx):
-    """Column-tiled variant for wide inputs; |dy| <= max_dy and
-    |dx| <= max_dx (both clipped to the window edge)."""
+    """Column-tiled variant (wide inputs / banded horizontal hats);
+    |dy| <= max_dy and |dx| <= max_dx (both clipped to the window edge)."""
     b, h, w, cin = x.shape
     k = kernel_size * kernel_size
     cout = weight.shape[-1]
@@ -643,8 +678,9 @@ def _deform_conv2d_pallas_tiled(x, offsets, weight, bias, kernel_size,
     r_eff = max_dy + dilation
     dx_eff = max_dx + dilation
     pad_rows = r_eff + 2
+    ct, ctw = _col_tile(w, max_dx, dilation)
     left = dx_eff + 2
-    right = (CTW - CT) - left
+    right = (ctw - ct) - left
     assert right >= dx_eff + 2, (right, dx_eff)
 
     off_y = jnp.clip(offsets[..., 0::2].astype(jnp.float32),
@@ -662,7 +698,7 @@ def _deform_conv2d_pallas_tiled(x, offsets, weight, bias, kernel_size,
         )
         sy = iy + (kh - half) * dilation + off_y[..., tap]
         sx = ix + (kw - half) * dilation + off_x[..., tap]
-        out = out + deform_sample_tiled(y_pad, sy, sx, r_eff, dx_eff)
+        out = out + deform_sample_tiled(y_pad, sy, sx, r_eff, dx_eff, ct, ctw)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
