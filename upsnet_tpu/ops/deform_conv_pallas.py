@@ -365,11 +365,11 @@ def _sample_ref(y_pad, sy, sx, max_dy: int, col_off: int = 1):
 def _sample_bwd_kernel(sy_ref, sx_ref, g_ref, y_hbm, gwin_ref, gsy_ref,
                        gsx_ref, win, gwin_acc, sem, *, h: int,
                        w: int, wp: int, c: int, r: int, win_pad: int,
-                       col_off: int):
+                       col_off: int, rb: int):
     rb_idx = pl.program_id(1)
-    i0 = rb_idx * RB
+    i0 = rb_idx * rb
     a_n = 2 * r + 3
-    win_rows = RB + 2 * r + 2
+    win_rows = rb + 2 * r + 2
 
     b_idx = pl.program_id(0)
     dma = pltpu.make_async_copy(
@@ -384,7 +384,7 @@ def _sample_bwd_kernel(sy_ref, sx_ref, g_ref, y_hbm, gwin_ref, gsy_ref,
     gwin_acc[...] = jnp.zeros((win_pad, wp, c), jnp.float32)
     dma.wait()
 
-    for li in range(RB):
+    for li in range(rb):
         sy_r = sy_ref[0, li:li + 1, :]  # (1, w)
         sx_r = sx_ref[0, li:li + 1, :]
         inside = (
@@ -451,33 +451,40 @@ def _sample_pallas_bwd(y_pad, sy, sx, g, max_dy: int, col_off: int = 1):
     b, hpad, wp, c = y_pad.shape
     _, h, w = sy.shape
     r = max_dy
-    n_blocks = h // RB
-    win_rows = RB + 2 * r + 2
-    win_pad = _round_up(win_rows, RB)
+    # rows per program: kept at RB=8. Unlike the forward (rb=104 there),
+    # larger backward blocks made the b8 flagship train step OOM HBM at
+    # RUNTIME (reproducibly, rb=16 with either 64 or 96MB vmem caps) —
+    # the rematted backward holds this kernel's gwin outputs alongside
+    # the recomputed forward, and the bigger per-block win_pad padding
+    # tips the ~15G peak over. Revisit only with a measured memory win.
+    rb = RB
+    n_blocks = h // rb
+    win_rows = rb + 2 * r + 2
+    win_pad = _round_up(win_rows, rb)
 
     kernel = functools.partial(
         _sample_bwd_kernel, h=h, w=w, wp=wp, c=c, r=r, win_pad=win_pad,
-        col_off=col_off,
+        col_off=col_off, rb=rb,
     )
     gwin, gsy, gsx = pl.pallas_call(
         kernel,
         grid=(b, n_blocks),
         in_specs=[
-            pl.BlockSpec((1, RB, w), lambda bi, ri: (bi, ri, 0),
+            pl.BlockSpec((1, rb, w), lambda bi, ri: (bi, ri, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, RB, w), lambda bi, ri: (bi, ri, 0),
+            pl.BlockSpec((1, rb, w), lambda bi, ri: (bi, ri, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, RB, w, c), lambda bi, ri: (bi, ri, 0, 0),
+            pl.BlockSpec((1, rb, w, c), lambda bi, ri: (bi, ri, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # y_pad stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # y_pad stays in HBM
         ],
         out_specs=(
             pl.BlockSpec((1, 1, win_pad, wp, c),
                          lambda bi, ri: (bi, ri, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, RB, w), lambda bi, ri: (bi, ri, 0),
+            pl.BlockSpec((1, rb, w), lambda bi, ri: (bi, ri, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, RB, w), lambda bi, ri: (bi, ri, 0),
+            pl.BlockSpec((1, rb, w), lambda bi, ri: (bi, ri, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -490,16 +497,19 @@ def _sample_pallas_bwd(y_pad, sy, sx, g, max_dy: int, col_off: int = 1):
             pltpu.VMEM((win_pad, wp, c), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,  # v5e VMEM is 128MB
+        ),
     )(sy, sx, g, y_pad)
 
     # overlap-add the per-block windows: block t's window row q lands on
-    # y_pad row 1 + t*RB + q; chunks of RB rows keep every add contiguous.
+    # y_pad row 1 + t*rb + q; chunks of rb rows keep every add contiguous.
     grad = jnp.zeros((b, hpad, wp, c), jnp.float32)
-    for k in range(win_pad // RB):
-        seg = gwin[:, :, k * RB:(k + 1) * RB].astype(jnp.float32)
-        seg = seg.reshape(b, n_blocks * RB, wp, c)
-        start = 1 + k * RB
-        end = min(start + n_blocks * RB, hpad)
+    for k in range(win_pad // rb):
+        seg = gwin[:, :, k * rb:(k + 1) * rb].astype(jnp.float32)
+        seg = seg.reshape(b, n_blocks * rb, wp, c)
+        start = 1 + k * rb
+        end = min(start + n_blocks * rb, hpad)
         grad = jax.lax.dynamic_update_slice(
             grad,
             jax.lax.dynamic_slice(
