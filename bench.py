@@ -37,7 +37,14 @@ def main():
     from upsnet_tpu.models.upsnet import build_model, forward_predict
     from upsnet_tpu.ops.anchors import pyramid_anchors
 
+    import dataclasses
+
     cfg = default_config()
+    # flagship train impl (same as the flagship experiment yamls): windowed
+    # Pallas kernels in the rematted backward; inference stays on 'auto'
+    cfg = cfg.replace(
+        network=dataclasses.replace(cfg.network, dcn_impl_train="pallas")
+    )
     batch_size = 8
     bucket = cfg.test.image_buckets[0]  # (832, 1344): the 800x1333 COCO scale
     model = build_model(cfg)

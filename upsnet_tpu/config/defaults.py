@@ -47,15 +47,17 @@ class NetworkConfig:
     # 'mxu' (both exact for |dy| <= dcn_max_dy, offsets clipped to the
     # window) | 'gather' (unbounded-exact; simplest gradients)
     dcn_impl: str = "auto"
-    # DCN impl for the TRAIN step only ("" = same as dcn_impl). Default
-    # 'pallas': compiling auto's exact-gather branch into the rematted
-    # backward costs ~6 GiB HBM + ~29% step time even when never taken
-    # (measured b8: grad 1.71s/21.1G auto vs 1.33s/14.9G pallas). Training
-    # then clips offsets to the +-dcn_max_dy window (zero gradient
-    # beyond) — offsets learned from zero-init stay well inside at 1/4
-    # scale; from-scratch small-image configs should set 'gather'
-    # (see experiments/upsnet_tiny_synthetic.yaml).
-    dcn_impl_train: str = "pallas"
+    # DCN impl for the TRAIN step only. Default "" = inherit dcn_impl, so
+    # an explicit dcn_impl choice is never silently overridden for
+    # training. The flagship experiment yamls opt into 'pallas' here:
+    # compiling auto's exact-gather branch into the rematted backward
+    # costs ~6 GiB HBM + ~29% step time even when never taken (measured
+    # b8: grad 1.71s/21.1G auto vs 1.33s/14.9G pallas). The pallas train
+    # path clips offsets to the +-dcn_max_dy window (boundary gradient
+    # behavior set by dcn_boundary_grad below); offsets learned from
+    # zero-init stay well inside at 1/4 scale, and train-time telemetry
+    # logs per-layer max |offset| so saturation is visible.
+    dcn_impl_train: str = ""
     dcn_max_dy: int = 6
     # ROIAlign forward: 'window' (Pallas per-RoI window DMA + joint-hat
     # matmul, ops/roi_align_pallas — ~1.7x the gather path at predict
@@ -172,6 +174,13 @@ class TestConfig:
     nms_thresh: float = 0.5  # per-class detection NMS
     score_thresh: float = 0.05
     max_det: int = 100
+    # static global candidate pool entering the joint class-offset
+    # detection NMS (0 = all RoIs x classes). Softmax scores cap the
+    # number of classes >= score_thresh per RoI at 1/score_thresh = 20,
+    # and real images produce ~1-3, so 2048 covers 1000 RoIs with slack;
+    # validated adversarially in tests/test_caps_adversarial.py (capped
+    # joint == uncapped per-class reference on the final top-max_det).
+    detection_nms_pool: int = 2048
     # Panoptic fusion (SURVEY.md §3.4)
     panoptic_score_thresh: float = 0.6
     panoptic_mask_overlap_thresh: float = 0.5  # MaskRemoval keep fraction

@@ -236,8 +236,24 @@ class ProcessLoader(_LoaderBase):
         # (rerun with train.num_workers=0 to bypass).
         self.stall_timeout = stall_timeout
 
+    def _start_context(self):
+        """Prefer forkserver: its workers fork from a clean server process
+        spawned before any JAX/TPU threads exist, avoiding the classic
+        fork-after-threads deadlock entirely. Requires the loader (dataset
+        included) to be picklable; fall back to plain fork — guarded by
+        the loud stall timeout — when it is not."""
+        import pickle
+
+        if "forkserver" in mp.get_all_start_methods():
+            try:
+                pickle.dumps(self)
+                return mp.get_context("forkserver")
+            except Exception:
+                pass
+        return mp.get_context("fork")
+
     def _samples_mp(self):
-        ctx = mp.get_context("fork")
+        ctx = self._start_context()
         run_id = uuid.uuid4().hex[:8]
         # depth: keep each worker ~prefetch batches ahead
         depth = max(2, self.prefetch * self.batch_size // self.num_workers + 1)
@@ -309,11 +325,18 @@ class ProcessLoader(_LoaderBase):
             # after every worker is confirmed dead.
             import os
 
-            for path in sorted(glob_mod.glob(f"/dev/shm/upsnet_{run_id}_*")):
-                try:
-                    os.unlink(path)
-                except OSError:
-                    pass
+            if os.path.isdir("/dev/shm"):  # Linux: shm segments are files
+                for path in sorted(
+                    glob_mod.glob(f"/dev/shm/upsnet_{run_id}_*")
+                ):
+                    try:
+                        os.unlink(path)
+                    except OSError:
+                        pass
+            # other POSIX platforms have no shm filesystem to sweep; lost
+            # mid-pipe segments can leak there until reboot (documented
+            # Linux-first assumption; the normal consume path unlinks
+            # every segment it reads regardless of platform)
 
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)

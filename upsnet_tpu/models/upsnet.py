@@ -34,7 +34,7 @@ from upsnet_tpu.models.resnet import ResNetBackbone
 from upsnet_tpu.models.rpn import RPNHead
 from upsnet_tpu.ops import panoptic as pan_ops
 from upsnet_tpu.ops.boxes import clip_boxes, decode_boxes, fpn_level_assignment
-from upsnet_tpu.ops.nms import nms_padded
+from upsnet_tpu.ops.nms import batched_class_nms
 from upsnet_tpu.ops.proposals import pyramid_proposals
 from upsnet_tpu.ops.roi_align import fpn_roi_align_batched
 from upsnet_tpu.ops.targets import proposal_mask_targets, rpn_targets
@@ -391,44 +391,44 @@ def forward_train(model, params, cfg: Config, anchors, batch, key):
 
 
 def _detection_nms(boxes_pc, scores_pc, cfg_test, num_classes: int):
-    """Per-class NMS + global top-k for one image.
+    """Joint class-offset NMS + global top-k for one image.
 
     boxes_pc (R, C, 4) decoded per class; scores_pc (R, C) softmax scores.
-    Detectron pipeline: score >= score_thresh, per-class NMS(0.5), keep
-    max_det overall by score. Per-class candidates are capped at a static
-    256 by score before NMS (rank > 256 within one class never reaches the
-    top-100 overall in practice).
+    Detectron pipeline semantics (score >= score_thresh, per-class
+    NMS(0.5), top max_det overall by score) computed as ONE suppression
+    fixpoint: boxes of different classes are shifted so they never
+    overlap, making per-class NMS and joint NMS identical, and greedy
+    NMS's first max_det keeps in global score order are exactly the
+    global top-max_det of the union of per-class survivors (a survivor
+    ranked below max_det within its own class is ranked below max_det
+    globally too). Replaces the (C-1)-way vmapped per-class fixpoint —
+    one argsort + one (pool, pool) IoU matrix instead of 80 — and the
+    per-class top-256 cap whose failure mode was crowd scenes; the
+    global score-ranked pool (cfg_test.detection_nms_pool) is validated
+    in tests/test_caps_adversarial.py.
     """
-    cap = 256
     rr = boxes_pc.shape[0]
-    cap = min(cap, rr)
-
-    def per_class(c_boxes, c_scores):
-        ok = c_scores >= cfg_test.score_thresh
-        sc = jnp.where(ok, c_scores, -jnp.inf)
-        top_sc, top_i = jax.lax.top_k(sc, cap)
-        idx, keep = nms_padded(
-            c_boxes[top_i], top_sc, cfg_test.nms_thresh, cfg_test.max_det,
-            jnp.isfinite(top_sc),
-        )
-        safe = jnp.maximum(idx, 0)
-        return c_boxes[top_i][safe], jnp.where(keep, top_sc[safe], -jnp.inf), keep
-
-    # classes 1..C-1 (skip background)
-    boxes_t = jnp.moveaxis(boxes_pc[:, 1:], 1, 0)  # (C-1, R, 4)
-    scores_t = scores_pc[:, 1:].T  # (C-1, R)
-    nb, ns, nk = jax.vmap(per_class)(boxes_t, scores_t)
-    flat_boxes = nb.reshape(-1, 4)
-    flat_scores = ns.reshape(-1)
-    flat_cls = jnp.broadcast_to(
-        jnp.arange(1, num_classes, dtype=jnp.int32)[:, None], nk.shape
+    nc = num_classes - 1  # classes 1..C-1 (skip background)
+    boxes_f = boxes_pc[:, 1:].reshape(rr * nc, 4)
+    scores_f = scores_pc[:, 1:].reshape(rr * nc)
+    classes_f = jnp.broadcast_to(
+        jnp.arange(1, num_classes, dtype=jnp.int32)[None, :], (rr, nc)
     ).reshape(-1)
-    top_sc, top_i = jax.lax.top_k(flat_scores, cfg_test.max_det)
+    ok = scores_f >= cfg_test.score_thresh
+    sc = jnp.where(ok, scores_f, -jnp.inf)
+    pool = getattr(cfg_test, "detection_nms_pool", 2048) or (rr * nc)
+    pool = min(pool, rr * nc)
+    top_sc, top_i = jax.lax.top_k(sc, pool)
+    idx, keep = batched_class_nms(
+        boxes_f[top_i], top_sc, classes_f[top_i], cfg_test.nms_thresh,
+        cfg_test.max_det, jnp.isfinite(top_sc),
+    )
+    safe = top_i[jnp.maximum(idx, 0)]
     return (
-        flat_boxes[top_i],
-        top_sc,
-        flat_cls[top_i],
-        jnp.isfinite(top_sc),
+        boxes_f[safe],
+        jnp.where(keep, scores_f[safe], -jnp.inf),
+        classes_f[safe],
+        keep,
     )
 
 

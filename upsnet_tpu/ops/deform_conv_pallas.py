@@ -136,8 +136,10 @@ def _sample_pallas(y_pad, sy, sx, max_dy: int):
     _, h, w = sy.shape
     r = max_dy
     # rows per program: fixed per-program overhead (~16us: DMA issue +
-    # scaffolding) dominates this kernel, so take the largest block the
-    # shape allows (h=208 flagship -> 52; small test shapes stay at 8)
+    # scaffolding) dominates this kernel, so take the largest candidate
+    # that divides h AND fits the 48MB VMEM check (h=208 flagship: 104
+    # usually fails the check at P2 widths, landing on 16; small test
+    # shapes keep the RB=8 default)
     rb = RB
     for cand in (104, 16):  # must be %8 (sublane block rule) and divide h
         if h % cand == 0 and h > cand:
