@@ -124,3 +124,41 @@ def test_mask_matching_map():
     assert out[6, 6] == num_stuff + 2  # routed to unknown (G=2)
     assert out[4, 0] == 1  # stuff persists
     assert out[7, 7] == 255  # ignore persists
+
+
+def test_panoptic_argmax_stream_bit_identical():
+    """The streaming (no-stack) argmax must match the stacked argmax
+    bit-for-bit, including first-wins tie-breaks across channel groups."""
+    from upsnet_tpu.ops.panoptic import panoptic_argmax_stream
+
+    rng = np.random.RandomState(7)
+    h, w, num_stuff, num_thing, n = 32, 40, 5, 6, 9
+    for trial in range(4):
+        seg = rng.randn(h, w, num_stuff + num_thing).astype(np.float32) * 3
+        if trial >= 2:
+            # engineered ties: quantize logits so exact-equal maxima are
+            # common between stuff/instance/unknown channels
+            seg = np.round(seg)
+        boxes = np.stack(
+            [
+                rng.uniform(0, w - 8, n),
+                rng.uniform(0, h - 8, n),
+                rng.uniform(8, w, n),
+                rng.uniform(8, h, n),
+            ],
+            axis=1,
+        ).astype(np.float32)
+        boxes[:, 2] = np.maximum(boxes[:, 2], boxes[:, 0] + 2)
+        boxes[:, 3] = np.maximum(boxes[:, 3], boxes[:, 1] + 2)
+        classes = rng.randint(0, num_thing, n).astype(np.int32)
+        masks = (rng.randn(n, 28, 28) * 4).astype(np.float32)
+        if trial >= 2:
+            masks = np.round(masks)
+        valid = rng.rand(n) > (0.9 if trial == 3 else 0.3)
+        args = (
+            jnp.asarray(seg), jnp.asarray(boxes), jnp.asarray(classes),
+            jnp.asarray(masks), jnp.asarray(valid),
+        )
+        want, _ = panoptic_argmax(*args, num_stuff)
+        got = panoptic_argmax_stream(*args, num_stuff)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -59,6 +59,17 @@ class NetworkConfig:
     # logs per-layer max |offset| so saturation is visible.
     dcn_impl_train: str = ""
     dcn_max_dy: int = 6
+    # Gradient behavior at the +-dcn_max_dy clip boundary of the windowed
+    # train impls ('pallas'/'mxu'): 'clip' = true gradient of the clipped
+    # forward (zero beyond the window); 'straight_through' = pass the
+    # sample-position gradient through the clip, giving offsets a nonzero
+    # escape gradient when they saturate (tests/test_dcn_saturation.py).
+    dcn_boundary_grad: str = "clip"
+    # What the trainer does when probed offsets stay above
+    # 0.9 * dcn_max_dy for 3 consecutive display intervals while training
+    # on a clipping impl: 'fail' raises; 'warn' logs an error and keeps
+    # going. Probes are logged to metrics.jsonl either way.
+    dcn_saturation_action: str = "fail"
     # ROIAlign forward: 'window' (Pallas per-RoI window DMA + joint-hat
     # matmul, ops/roi_align_pallas — ~1.7x the gather path at predict
     # sizes; falls back to gather off-TPU), 'gather' (packed-corner XLA

@@ -32,6 +32,7 @@ class FCNSubNet(nn.Module):
     with_dcn: bool = True
     dcn_impl: str = "pallas"
     dcn_max_dy: int = 6
+    dcn_boundary_grad: str = "clip"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -40,6 +41,7 @@ class FCNSubNet(nn.Module):
             if self.with_dcn:
                 x = DeformConv(self.channels, 3, dtype=self.dtype,
                                impl=self.dcn_impl, max_dy=self.dcn_max_dy,
+                               boundary_grad=self.dcn_boundary_grad,
                                name=f"dcn{i + 1}")(x)
             else:
                 x = conv(self.channels, 3, use_bias=True, dtype=self.dtype,
@@ -56,6 +58,7 @@ class FCNHead(nn.Module):
     shared_subnet: bool = True
     dcn_impl: str = "pallas"
     dcn_max_dy: int = 6
+    dcn_boundary_grad: str = "clip"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -66,6 +69,7 @@ class FCNHead(nn.Module):
         shared = (
             FCNSubNet(self.channels, self.num_layers, self.with_dcn,
                       self.dcn_impl, self.dcn_max_dy,
+                      dcn_boundary_grad=self.dcn_boundary_grad,
                       dtype=self.dtype, name="subnet")
             if self.shared_subnet
             else None
@@ -74,6 +78,7 @@ class FCNHead(nn.Module):
             net = shared if shared is not None else FCNSubNet(
                 self.channels, self.num_layers, self.with_dcn,
                 self.dcn_impl, self.dcn_max_dy,
+                dcn_boundary_grad=self.dcn_boundary_grad,
                 dtype=self.dtype, name=f"subnet{i}")
             f = net(p)
             if f.shape[1:3] != out_hw:

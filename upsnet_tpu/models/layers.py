@@ -71,6 +71,10 @@ class DeformConv(nn.Module):
     # 'gather': unbounded-exact XLA gather path
     impl: str = "auto"
     max_dy: int = 6
+    # gradient at the window clip boundary for the clipping impls
+    # ('pallas'/'mxu'): 'clip' or 'straight_through' (see
+    # config.defaults.NetworkConfig.dcn_boundary_grad)
+    boundary_grad: str = "clip"
 
     @nn.compact
     def __call__(self, x):  # x: (B, H, W, C)
@@ -124,11 +128,13 @@ class DeformConv(nn.Module):
             return deform_conv2d_pallas(
                 x.astype(self.dtype), offsets, w, b,
                 kernel_size=k, dilation=self.dilation, max_dy=self.max_dy,
+                boundary_grad=self.boundary_grad,
             )
         if self.impl == "mxu":
             return deform_conv2d_mxu(
                 x.astype(self.dtype), offsets, w, b,
                 kernel_size=k, dilation=self.dilation, max_dy=self.max_dy,
+                boundary_grad=self.boundary_grad,
             )
         return deform_conv2d_batched(
             x.astype(self.dtype), offsets, w, b,

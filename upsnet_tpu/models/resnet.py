@@ -41,6 +41,7 @@ class Bottleneck(nn.Module):
     with_dcn: bool = False
     dcn_impl: str = "pallas"
     dcn_max_dy: int = 6
+    dcn_boundary_grad: str = "clip"
     norm: str = "frozen_bn"
     dtype: Any = jnp.float32
 
@@ -60,6 +61,7 @@ class Bottleneck(nn.Module):
         if self.with_dcn:
             y = DeformConv(self.features, 3, use_bias=False, dtype=self.dtype,
                            impl=self.dcn_impl, max_dy=self.dcn_max_dy,
+                           boundary_grad=self.dcn_boundary_grad,
                            name="conv2")(y)
         else:
             y = conv(self.features, 3, 1, dtype=self.dtype, name="conv2")(y)
@@ -77,6 +79,7 @@ class ResNetBackbone(nn.Module):
     dcn_stages: Sequence[int] = ()  # stage indices in {3, 4, 5}
     dcn_impl: str = "pallas"
     dcn_max_dy: int = 6
+    dcn_boundary_grad: str = "clip"
     norm: str = "frozen_bn"
     dtype: Any = jnp.float32
 
@@ -101,6 +104,7 @@ class ResNetBackbone(nn.Module):
                     with_dcn=(stage_i in self.dcn_stages),
                     dcn_impl=self.dcn_impl,
                     dcn_max_dy=self.dcn_max_dy,
+                    dcn_boundary_grad=self.dcn_boundary_grad,
                     norm=self.norm,
                     dtype=self.dtype,
                     name=f"res{stage_i}_{b}",

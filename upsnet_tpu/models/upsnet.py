@@ -57,6 +57,7 @@ class UPSNetModule(nn.Module):
     fcn_shared_subnet: bool = True
     dcn_impl: str = "pallas"
     dcn_max_dy: int = 6
+    dcn_boundary_grad: str = "clip"
     norm: str = "frozen_bn"
     dtype: Any = jnp.float32
 
@@ -64,6 +65,7 @@ class UPSNetModule(nn.Module):
         self.backbone_net = ResNetBackbone(
             depth=self.backbone, dcn_stages=self.dcn_stages,
             dcn_impl=self.dcn_impl, dcn_max_dy=self.dcn_max_dy,
+            dcn_boundary_grad=self.dcn_boundary_grad,
             norm=self.norm, dtype=self.dtype,
         )
         self.fpn = FPN(self.fpn_dim, dtype=self.dtype)
@@ -78,6 +80,7 @@ class UPSNetModule(nn.Module):
             self.fcn_shared_subnet,
             self.dcn_impl,
             self.dcn_max_dy,
+            dcn_boundary_grad=self.dcn_boundary_grad,
             dtype=self.dtype,
         )
 
@@ -120,6 +123,7 @@ def build_model(cfg: Config) -> UPSNetModule:
         fcn_shared_subnet=net.fcn_shared_subnet,
         dcn_impl=net.dcn_impl,
         dcn_max_dy=net.dcn_max_dy,
+        dcn_boundary_grad=net.dcn_boundary_grad,
         norm=net.norm,
         dtype=jnp.dtype(net.compute_dtype),
     )
@@ -445,7 +449,7 @@ def panoptic_fuse(seg_lg, boxes, classes, ms_logits, scores_i, valid_i,
     boxes_q = boxes * 0.25
     pasted = pan_ops.mask_term(jax.nn.sigmoid(ms_logits), boxes_q, seg_hw)
     keep = pan_ops.mask_removal(pasted, keep_score, overlap_thresh)
-    pan_map, _ = pan_ops.panoptic_argmax(
+    pan_map = pan_ops.panoptic_argmax_stream(
         seg_lg, boxes_q, jnp.maximum(classes - 1, 0), ms_logits, keep,
         num_stuff,
     )

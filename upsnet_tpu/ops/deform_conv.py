@@ -219,8 +219,29 @@ def deform_conv2d_batched(
     return out.reshape(b, h, w, cout)
 
 
+def clip_offsets(v, bound: float, boundary_grad: str = "clip"):
+    """Clip offsets into the reachable window.
+
+    boundary_grad='clip' is the true gradient of the clipped forward
+    (zero beyond the window). 'straight_through' passes the sample-
+    position gradient through the clip so saturated offsets keep a
+    nonzero escape gradient (config: network.dcn_boundary_grad); it
+    clips to bound - 1e-3 because a sample at exactly ``bound`` lands on
+    an integer grid row where the bilinear hat's one-sided derivative is
+    zero by the -sign(0) convention — strictly inside the last cell the
+    slope (the value difference of the two edge rows) survives, which is
+    exactly the signal a saturated offset needs to retreat or to report
+    that it wants out (tests/test_dcn_saturation.py).
+    """
+    if boundary_grad == "straight_through":
+        c = jnp.clip(v, -(bound - 1e-3), bound - 1e-3)
+        return v + jax.lax.stop_gradient(c - v)
+    return jnp.clip(v, -bound, bound)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("kernel_size", "dilation", "max_dy")
+    jax.jit,
+    static_argnames=("kernel_size", "dilation", "max_dy", "boundary_grad"),
 )
 def deform_conv2d_mxu(
     x: jnp.ndarray,
@@ -230,6 +251,7 @@ def deform_conv2d_mxu(
     kernel_size: int = 3,
     dilation: int = 1,
     max_dy: int = 6,
+    boundary_grad: str = "clip",
 ) -> jnp.ndarray:
     """Deformable conv with bilinear sampling as dense MXU matmuls.
 
@@ -264,7 +286,7 @@ def deform_conv2d_mxu(
     # clip vertical offsets into the reachable window: out-of-range offsets
     # sample the window edge instead of silently contributing zero (closer
     # to the reference's far sample; trained checkpoints stay unclipped)
-    off_y = jnp.clip(offsets[..., 0::2], -float(max_dy), float(max_dy))
+    off_y = clip_offsets(offsets[..., 0::2], float(max_dy), boundary_grad)
     off_x = offsets[..., 1::2]
 
     iy = jnp.arange(h, dtype=offsets.dtype)[None, :, None]

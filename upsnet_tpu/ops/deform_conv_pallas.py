@@ -40,7 +40,7 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _sample_kernel(sy_ref, sx_ref, y_hbm, out_ref, win, sem, *,
+def _sample_kernel(sy_ref, syt_ref, sx_ref, y_hbm, out_ref, win, sem, *,
                    h: int, w: int, wp: int, c: int, r: int, rb: int):
     """One (batch, row-block) program — separable-hat formulation.
 
@@ -49,14 +49,16 @@ def _sample_kernel(sy_ref, sx_ref, y_hbm, out_ref, win, sem, *,
     per-lane dynamic slicing are needed; the MXU contracts over dim 0 of
     both operands.
 
-    The bilinear weight factors as hat(dy) * hat(dx): the horizontal hat
-    matrix hx (wp, w) is built ONCE per output row, and each of the a_n
-    vertical candidates contributes dot(hx * vy_a, win[li+a]) with the
-    scalar-per-column vy_a folded into the matmul operand. Compared to
-    materializing the joint (a_n*wp, w) weight matrix in scratch (round-1
-    kernel), this removes a_n-1 full-tile VPU builds, all dynamic-offset
-    (sublane-misaligned, wp % 8 != 0) scratch stores, and the collapsed
-    (a_n, wp, c) -> (a_n*wp, c) window reshape per row.
+    The bilinear weight factors as hat(dy) * hat(dx), and the vertical
+    factor is constant per output pixel (column of the matmul), so it is
+    applied AFTER the matmul: candidate a contributes
+    ``vy_a ⊙ (hx^T win[li+a])`` with vy_a a (w, 1) sublane vector (from
+    the pre-transposed syt input) broadcast over the c lanes. The hat
+    matrix hx (wp, w) is built and cast to bf16 ONCE per row; per
+    candidate the VPU does only the (w, c) post-multiply+accumulate —
+    ~3x less VPU traffic than folding vy into the matmul operand (the
+    round-2 kernel rebuilt and re-cast the (wp, w) operand per
+    candidate, which WAS the measured joint-weight-build floor).
 
     Candidate skip: vertical candidate a contributes iff some pixel of the
     row has |sy - (i + a - (r+1))| < 1, i.e. a lies in the width-2 interval
@@ -90,12 +92,13 @@ def _sample_kernel(sy_ref, sx_ref, y_hbm, out_ref, win, sem, *,
     for li in range(rb):
         sy_r = sy_ref[0, li:li + 1, :]  # (1, w)
         sx_r = sx_ref[0, li:li + 1, :]
+        sy_col = syt_ref[0, 0, :, li:li + 1]  # (w, 1) same values as sy_r
         inside = (
             (sy_r > -1.0) & (sy_r < float(h))
             & (sx_r > -1.0) & (sx_r < float(w))
         )  # (1, w)
         hx = jnp.maximum(1.0 - jnp.abs(sx_r - cols_t), 0.0)  # (wp, w)
-        hx = jnp.where(inside, hx, 0.0)
+        hx = jnp.where(inside, hx, 0.0).astype(win.dtype)
         i_glob = jnp.float32(i0 * 1.0) + li
         base = i_glob - (r + 1.0)  # candidate a samples source row base + a
         # live range: a in (min(sy)-base-1, max(sy)-base+1) as an integer
@@ -109,14 +112,15 @@ def _sample_kernel(sy_ref, sx_ref, y_hbm, out_ref, win, sem, *,
         )
 
         def body(a, acc_v):
-            vy = jnp.maximum(
-                1.0 - jnp.abs(sy_r - (base + a.astype(jnp.float32))), 0.0
-            )  # (1, w), broadcasts over sublanes of hx
-            return acc_v + jax.lax.dot_general(
-                (hx * vy).astype(win.dtype), win[pl.dslice(li + a, 1)][0],
+            part = jax.lax.dot_general(
+                hx, win[pl.dslice(li + a, 1)][0],
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )
+            )  # (w, c)
+            vy = jnp.maximum(
+                1.0 - jnp.abs(sy_col - (base + a.astype(jnp.float32))), 0.0
+            )  # (w, 1), broadcasts over the c lanes
+            return acc_v + vy * part
 
         acc = jax.lax.fori_loop(
             a_lo, a_hi + 1, body, jnp.zeros((w, c), jnp.float32)
@@ -153,6 +157,10 @@ def _sample_pallas(y_pad, sy, sx, max_dy: int):
     win_rows = rb + 2 * r + 2
     a_n = 2 * r + 3
 
+    # per-block transposed sy: (b, n_blocks, w, rb) so the kernel reads a
+    # (w, 1) vertical-hat column per row without an in-kernel transpose
+    syt = sy.reshape(b, n_blocks, rb, w).swapaxes(2, 3)
+
     kernel = functools.partial(
         _sample_kernel, h=h, w=w, wp=wp, c=c, r=r, rb=rb
     )
@@ -161,6 +169,8 @@ def _sample_pallas(y_pad, sy, sx, max_dy: int):
         grid=(b, n_blocks),
         in_specs=[
             pl.BlockSpec((1, rb, w), lambda bi, ri: (bi, ri, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, w, rb), lambda bi, ri: (bi, ri, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rb, w), lambda bi, ri: (bi, ri, 0),
                          memory_space=pltpu.VMEM),
@@ -176,7 +186,7 @@ def _sample_pallas(y_pad, sy, sx, max_dy: int):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,  # v5e VMEM is 128MB
         ),
-    )(sy, sx, y_pad)
+    )(sy, syt, sx, y_pad)
 
 
 CT = 256  # default output columns per program in the column-tiled kernel
@@ -364,10 +374,25 @@ def _sample_ref(y_pad, sy, sx, max_dy: int, col_off: int = 1):
 # ---------------------------------------------------------------------------
 
 
-def _sample_bwd_kernel(sy_ref, sx_ref, g_ref, y_hbm, gwin_ref, gsy_ref,
-                       gsx_ref, win, gwin_acc, sem, *, h: int,
+def _sample_bwd_kernel(sy_ref, syt_ref, sx_ref, g_ref, y_hbm, gwin_ref,
+                       gsyt_ref, gsxt_ref, win, gwin_acc, sem, *, h: int,
                        w: int, wp: int, c: int, r: int, win_pad: int,
                        col_off: int, rb: int):
+    """Backward with the same post-matmul vertical-hat factoring as the
+    forward. Per candidate a:
+
+      grad-to-window:  gwin[li+a] += vx^T-matmul of (vy ⊙ g_row)
+      offset grads:    part_a = vx^T win_a, dpart_a = dvx^T win_a (both
+                       (w, c)); gsy += dvy ⊙ Σ_c(part_a ⊙ g_row),
+                       gsx += vy ⊙ Σ_c(dpart_a ⊙ g_row)
+
+    using Σ_q vx[q,j] Σ_c win[q,c] g[j,c] = Σ_c part[j,c] g[j,c] — the
+    hadamard-colsum against the (wp, w) E-matrix becomes a (w, c)
+    hadamard-rowsum, and the per-candidate (wp, w) joint-weight build
+    disappears (vx/dvx are built + cast once per row). vy/dvy live as
+    (w, 1) sublane columns (from syt), so gsy/gsx accumulate in
+    transposed (w, rb) orientation; the caller transposes them back.
+    """
     rb_idx = pl.program_id(1)
     i0 = rb_idx * rb
     a_n = 2 * r + 3
@@ -389,16 +414,17 @@ def _sample_bwd_kernel(sy_ref, sx_ref, g_ref, y_hbm, gwin_ref, gsy_ref,
     for li in range(rb):
         sy_r = sy_ref[0, li:li + 1, :]  # (1, w)
         sx_r = sx_ref[0, li:li + 1, :]
+        sy_col = syt_ref[0, 0, :, li:li + 1]  # (w, 1)
         inside = (
             (sy_r > -1.0) & (sy_r < float(h))
             & (sx_r > -1.0) & (sx_r < float(w))
         )
         dx = sx_r - cols_t  # (wp, w)
         vx_t = jnp.maximum(1.0 - jnp.abs(dx), 0.0)
-        vx_t = jnp.where(inside, vx_t, 0.0)
+        vx_t = jnp.where(inside, vx_t, 0.0).astype(win.dtype)
         dvx_t = jnp.where(
             (jnp.abs(dx) < 1.0) & inside, -jnp.sign(dx), 0.0
-        )
+        ).astype(win.dtype)
         g_row = g_ref[0, li]  # (w, c)
         i_glob = jnp.float32(i0 * 1.0) + li
         base = i_glob - (r + 1.0)
@@ -414,33 +440,39 @@ def _sample_bwd_kernel(sy_ref, sx_ref, g_ref, y_hbm, gwin_ref, gsy_ref,
 
         def body(a, carry):
             gy, gx = carry
-            dy = sy_r - (base + a.astype(jnp.float32))  # (1, w)
+            dy = sy_col - (base + a.astype(jnp.float32))  # (w, 1)
             vy = jnp.maximum(1.0 - jnp.abs(dy), 0.0)
             dvy = jnp.where(jnp.abs(dy) < 1.0, -jnp.sign(dy), 0.0)
-            tile = (vy * vx_t).astype(win.dtype)  # (wp, w)
-            # grad to the y window: tile @ g_row
+            # grad to the y window: vx @ (vy ⊙ g_row)
+            gw_op = (vy * g_row).astype(win.dtype)  # (w, c)
             contrib = jax.lax.dot_general(
-                tile, g_row,
+                vx_t, gw_op,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (wp, c)
             gwin_acc[pl.dslice(li + a, 1)] += contrib[None]
-            # E_a for offset grads: win row a (wp, c) x g_row (w, c)^T
-            e_a = jax.lax.dot_general(
-                win[pl.dslice(li + a, 1)][0], g_row,
-                dimension_numbers=(((1,), (1,)), ((), ())),
+            win_a = win[pl.dslice(li + a, 1)][0]  # (wp, c)
+            part = jax.lax.dot_general(
+                vx_t, win_a,
+                dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (wp, w)
-            gy = gy + jnp.sum(dvy * vx_t * e_a, axis=0, keepdims=True)
-            gx = gx + jnp.sum(vy * dvx_t * e_a, axis=0, keepdims=True)
+            )  # (w, c)
+            dpart = jax.lax.dot_general(
+                dvx_t, win_a,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (w, c)
+            gf32 = g_row.astype(jnp.float32)
+            gy = gy + dvy * jnp.sum(part * gf32, axis=1, keepdims=True)
+            gx = gx + vy * jnp.sum(dpart * gf32, axis=1, keepdims=True)
             return gy, gx
 
-        zero = jnp.zeros((1, w), jnp.float32)
+        zero = jnp.zeros((w, 1), jnp.float32)
         gsy_acc, gsx_acc = jax.lax.fori_loop(
             a_lo, a_hi + 1, body, (zero, zero)
         )
-        gsy_ref[0, li] = gsy_acc[0]
-        gsx_ref[0, li] = gsx_acc[0]
+        gsyt_ref[0, 0, :, li:li + 1] = gsy_acc
+        gsxt_ref[0, 0, :, li:li + 1] = gsx_acc
     gwin_ref[0, 0] = gwin_acc[...].astype(gwin_ref.dtype)
 
 
@@ -464,15 +496,19 @@ def _sample_pallas_bwd(y_pad, sy, sx, g, max_dy: int, col_off: int = 1):
     win_rows = rb + 2 * r + 2
     win_pad = _round_up(win_rows, rb)
 
+    syt = sy.reshape(b, n_blocks, rb, w).swapaxes(2, 3)
+
     kernel = functools.partial(
         _sample_bwd_kernel, h=h, w=w, wp=wp, c=c, r=r, win_pad=win_pad,
         col_off=col_off, rb=rb,
     )
-    gwin, gsy, gsx = pl.pallas_call(
+    gwin, gsyt, gsxt = pl.pallas_call(
         kernel,
         grid=(b, n_blocks),
         in_specs=[
             pl.BlockSpec((1, rb, w), lambda bi, ri: (bi, ri, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, w, rb), lambda bi, ri: (bi, ri, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rb, w), lambda bi, ri: (bi, ri, 0),
                          memory_space=pltpu.VMEM),
@@ -484,15 +520,15 @@ def _sample_pallas_bwd(y_pad, sy, sx, g, max_dy: int, col_off: int = 1):
             pl.BlockSpec((1, 1, win_pad, wp, c),
                          lambda bi, ri: (bi, ri, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rb, w), lambda bi, ri: (bi, ri, 0),
+            pl.BlockSpec((1, 1, w, rb), lambda bi, ri: (bi, ri, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rb, w), lambda bi, ri: (bi, ri, 0),
+            pl.BlockSpec((1, 1, w, rb), lambda bi, ri: (bi, ri, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, n_blocks, win_pad, wp, c), y_pad.dtype),
-            jax.ShapeDtypeStruct((b, h, w), jnp.float32),
-            jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_blocks, w, rb), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_blocks, w, rb), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((win_rows, wp, c), y_pad.dtype),
@@ -502,7 +538,9 @@ def _sample_pallas_bwd(y_pad, sy, sx, g, max_dy: int, col_off: int = 1):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,  # v5e VMEM is 128MB
         ),
-    )(sy, sx, g, y_pad)
+    )(sy, syt, sx, g, y_pad)
+    gsy = gsyt.swapaxes(2, 3).reshape(b, h, w)
+    gsx = gsxt.swapaxes(2, 3).reshape(b, h, w)
 
     # overlap-add the per-block windows: block t's window row q lands on
     # y_pad row 1 + t*rb + q; chunks of rb rows keep every add contiguous.
@@ -604,7 +642,8 @@ def pallas_route(shape, cout: int, max_dy: int, dilation: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kernel_size", "dilation", "max_dy")
+    jax.jit,
+    static_argnames=("kernel_size", "dilation", "max_dy", "boundary_grad"),
 )
 def deform_conv2d_pallas(
     x: jnp.ndarray,
@@ -614,6 +653,7 @@ def deform_conv2d_pallas(
     kernel_size: int = 3,
     dilation: int = 1,
     max_dy: int = 6,
+    boundary_grad: str = "clip",
 ) -> jnp.ndarray:
     """Deformable conv: project-first + Pallas hat-matmul sampling.
 
@@ -621,7 +661,7 @@ def deform_conv2d_pallas(
     for |dy| <= max_dy). Requires H % 8 == 0 (true for all /4-scale bucket
     shapes); falls back to the mxu path otherwise.
     """
-    from upsnet_tpu.ops.deform_conv import deform_conv2d_mxu
+    from upsnet_tpu.ops.deform_conv import clip_offsets, deform_conv2d_mxu
 
     b, h, w, cin = x.shape
     cout_ = weight.shape[-1]
@@ -633,11 +673,13 @@ def deform_conv2d_pallas(
     if route == "tiled":
         # wide inputs (Cityscapes 512+): column-tiled kernel, |dx| clipped
         return _deform_conv2d_pallas_tiled(
-            x, offsets, weight, bias, kernel_size, dilation, max_dy, max_dx
+            x, offsets, weight, bias, kernel_size, dilation, max_dy, max_dx,
+            boundary_grad,
         )
     if route == "mxu":
         return deform_conv2d_mxu(
-            x, offsets, weight, bias, kernel_size, dilation, max_dy
+            x, offsets, weight, bias, kernel_size, dilation, max_dy,
+            boundary_grad,
         )
     k = kernel_size * kernel_size
     cout = weight.shape[-1]
@@ -663,9 +705,9 @@ def deform_conv2d_pallas(
         )
         # vertical offsets clipped into the reachable window (see
         # deform_conv2d_mxu): edge sample instead of silent zero
-        dy = jnp.clip(
-            offsets[..., 2 * tap].astype(jnp.float32),
-            -float(max_dy), float(max_dy),
+        dy = clip_offsets(
+            offsets[..., 2 * tap].astype(jnp.float32), float(max_dy),
+            boundary_grad,
         )
         sy = iy + (kh - half) * dilation + dy
         sx = ix + (kw - half) * dilation + offsets[..., 2 * tap + 1].astype(jnp.float32)
@@ -676,9 +718,12 @@ def deform_conv2d_pallas(
 
 
 def _deform_conv2d_pallas_tiled(x, offsets, weight, bias, kernel_size,
-                                dilation, max_dy, max_dx):
+                                dilation, max_dy, max_dx,
+                                boundary_grad="clip"):
     """Column-tiled variant (wide inputs / banded horizontal hats);
     |dy| <= max_dy and |dx| <= max_dx (both clipped to the window edge)."""
+    from upsnet_tpu.ops.deform_conv import clip_offsets
+
     b, h, w, cin = x.shape
     k = kernel_size * kernel_size
     cout = weight.shape[-1]
@@ -695,10 +740,10 @@ def _deform_conv2d_pallas_tiled(x, offsets, weight, bias, kernel_size,
     right = (ctw - ct) - left
     assert right >= dx_eff + 2, (right, dx_eff)
 
-    off_y = jnp.clip(offsets[..., 0::2].astype(jnp.float32),
-                     -float(max_dy), float(max_dy))
-    off_x = jnp.clip(offsets[..., 1::2].astype(jnp.float32),
-                     -float(max_dx), float(max_dx))
+    off_y = clip_offsets(offsets[..., 0::2].astype(jnp.float32),
+                         float(max_dy), boundary_grad)
+    off_x = clip_offsets(offsets[..., 1::2].astype(jnp.float32),
+                         float(max_dx), boundary_grad)
     iy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
     ix = jnp.arange(w, dtype=jnp.float32)[None, None, :]
     out = jnp.zeros((b, h, w, cout), dtype=x.dtype)

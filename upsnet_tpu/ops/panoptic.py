@@ -115,6 +115,50 @@ def panoptic_argmax(
     return jnp.argmax(pl.logits, axis=0).astype(jnp.int32), pl.logits
 
 
+@functools.partial(jax.jit, static_argnames=("num_stuff",))
+def panoptic_argmax_stream(
+    seg_logits, boxes, classes, mask_logits, inst_valid, num_stuff: int
+):
+    """Per-pixel argmax WITHOUT materializing the (S+N+1, H, W) stack.
+
+    Bit-identical to ``panoptic_argmax(...)[0]`` (asserted in
+    tests/test_panoptic_ops.py): computes (max, argmax) per channel group
+    — stuff along the lane axis, instances along their own axis, the
+    unknown scalar — and combines with the concat order's first-wins
+    tie-break (stuff < instances < unknown). Avoids the channel-major
+    moveaxis + concat of 154 x (H/4, W/4) f32 maps that made the stacked
+    form ~10 ms of the b8 fusion stage; used on the inference path where
+    the full stack (needed only by the training CE loss) is waste.
+    """
+    h, w, _ = seg_logits.shape
+    n = mask_logits.shape[0]
+    stuff = seg_logits[:, :, :num_stuff]
+    stuff_max = jnp.max(stuff, -1)
+    stuff_arg = jnp.argmax(stuff, -1)
+
+    seg_t = seg_term(seg_logits, boxes, classes, num_stuff)  # (N, H, W)
+    mask_t = mask_term(mask_logits, boxes, (h, w))
+    inst = seg_t + mask_t
+    neg = jnp.asarray(-1e4, inst.dtype)
+    inst = jnp.where(inst_valid[:, None, None], inst, neg)
+    inst_max = jnp.max(inst, 0)
+    inst_arg = jnp.argmax(inst, 0)
+
+    thing_max = jnp.max(seg_logits[:, :, num_stuff:], axis=-1)
+    seg_t_masked = jnp.where(inst_valid[:, None, None], seg_t, neg)
+    segt_max = jnp.where(jnp.any(inst_valid), jnp.max(seg_t_masked, 0), 0.0)
+    unknown = thing_max - segt_max
+
+    stuff_wins = (stuff_max >= inst_max) & (stuff_max >= unknown)
+    inst_wins = inst_max >= unknown
+    pan = jnp.where(
+        stuff_wins,
+        stuff_arg,
+        jnp.where(inst_wins, num_stuff + inst_arg, num_stuff + n),
+    )
+    return pan.astype(jnp.int32)
+
+
 def mask_removal(
     masks: jnp.ndarray,  # (N, H, W) binary/prob masks, SORTED by score desc
     valid: jnp.ndarray,  # (N,) bool

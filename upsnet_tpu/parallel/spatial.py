@@ -53,7 +53,7 @@ def _fuse_shard(seg_lg, boxes, classes, mask_logits, scores, valid,
     init = jnp.zeros(slab_hw, bool)
     _, keep = jax.lax.scan(step, init, (bin_masks, keep_score))
 
-    pan_map, _ = pan_ops.panoptic_argmax(
+    pan_map = pan_ops.panoptic_argmax_stream(
         seg_lg, boxes_slab, jnp.maximum(classes - 1, 0), mask_logits, keep,
         num_stuff,
     )

@@ -95,6 +95,28 @@ def train(cfg: Config, dataset, logger=None, max_steps: int | None = None,
     total_steps = max_steps or cfg.train.max_iteration
     it = start_iter
     t0 = time.time()
+
+    # DCN offset telemetry (VERDICT r2 #4): when the TRAIN impl clips
+    # offsets to the +-dcn_max_dy window, probe per-layer max |offset|
+    # every display interval, log it to metrics.jsonl, and act on
+    # sustained saturation (gradient beyond the window is zero under
+    # boundary_grad='clip' — invisible in the loss curve by design).
+    impl_train = cfg.network.dcn_impl_train or cfg.network.dcn_impl
+    uses_dcn = cfg.network.fcn_with_dcn or cfg.network.backbone_with_dcn
+    watch_dcn = uses_dcn and impl_train in ("pallas", "mxu")
+    if watch_dcn:
+        from upsnet_tpu.utils.dcn_probe import (
+            SaturationWatch,
+            make_offset_probe,
+            stats_from_intermediates,
+        )
+
+        offset_probe = make_offset_probe(model)
+        sat_watch = SaturationWatch(
+            cfg.network.dcn_max_dy, impl_train,
+            cfg.network.dcn_boundary_grad,
+            cfg.network.dcn_saturation_action,
+        )
     for batch in loader:
         if it >= total_steps:
             break
@@ -120,6 +142,14 @@ def train(cfg: Config, dataset, logger=None, max_steps: int | None = None,
             entry = {k: m.avg for k, m in meters.items()} | {
                 "iter": it, "images_per_sec": rate,
             }
+            if watch_dcn:
+                stats = stats_from_intermediates(
+                    offset_probe(params, batch["images"])
+                )
+                fields, warning = sat_watch.update(stats)
+                entry.update(fields)
+                if warning:
+                    logger.error(warning)
             history.append(entry)
             # structured metrics stream (tail -f / plotting friendly)
             with open(os.path.join(ckpt_dir, "..", "metrics.jsonl"), "a") as f:

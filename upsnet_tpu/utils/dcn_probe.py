@@ -32,6 +32,78 @@ def _walk(tree, prefix, out):
                 _walk(v, f"{prefix}/{k}" if prefix else k, out)
 
 
+def stats_from_intermediates(mut) -> dict:
+    """{layer_path: {max_dy, max_dx}} from a mutable-apply result."""
+    out: dict = {}
+    _walk(mut.get("intermediates", {}), "", out)
+    return out
+
+
+def make_offset_probe(model):
+    """Jitted probe: (params, images) -> intermediates pytree. Used by the
+    trainer every display interval (train/trainer.py) so clip saturation
+    of the windowed train impls is visible in metrics.jsonl."""
+    import jax
+
+    def fn(params, images):
+        _, mut = model.apply(
+            {"params": params}, images, method="extract",
+            mutable=["intermediates"],
+        )
+        return mut
+
+    return jax.jit(fn)
+
+
+class SaturationWatch:
+    """Sustained-saturation detector for the windowed DCN train impls.
+
+    Feed it the per-layer offset stats every display interval; when
+    max |dy| stays above ``frac * max_dy`` for ``patience`` consecutive
+    updates it raises (action='fail') or returns a warning message
+    (action='warn'). Gradient beyond the window is zero under
+    boundary_grad='clip', so saturation is invisible in the loss curve —
+    this is the loud failure VERDICT r2 #4 asks for. Unit-tested in
+    tests/test_dcn_saturation.py; driven by train/trainer.py.
+    """
+
+    def __init__(self, max_dy: float, impl: str, boundary_grad: str,
+                 action: str = "fail", frac: float = 0.9,
+                 patience: int = 3):
+        self.max_dy = float(max_dy)
+        self.impl = impl
+        self.boundary_grad = boundary_grad
+        self.action = action
+        self.limit = frac * float(max_dy)
+        self.patience = patience
+        self.streak = 0
+
+    def update(self, stats: dict) -> tuple[dict, str | None]:
+        """-> (metrics-entry fields, warning message or None); raises
+        RuntimeError on sustained saturation when action='fail'."""
+        if not stats:
+            return {}, None
+        max_dy = max(s["max_dy"] for s in stats.values())
+        max_dx = max(s["max_dx"] for s in stats.values())
+        entry = {"dcn_max_dy": max_dy, "dcn_max_dx": max_dx}
+        self.streak = self.streak + 1 if max_dy > self.limit else 0
+        if self.streak < self.patience:
+            return entry, None
+        desc = (
+            f"DCN offsets saturating the train window: max |dy| = "
+            f"{max_dy:.2f} > {self.limit / self.max_dy:.1f} * {self.max_dy:g} "
+            f"for {self.streak} consecutive display intervals (impl "
+            f"'{self.impl}' clips with boundary_grad="
+            f"'{self.boundary_grad}'). Raise network.dcn_max_dy, set "
+            "dcn_impl_train='gather', or dcn_boundary_grad="
+            "'straight_through'."
+        )
+        if self.action == "fail":
+            raise RuntimeError(desc)
+        self.streak = 0  # warn once per streak
+        return entry, desc
+
+
 def probe_dcn_offsets(model, params, images) -> dict:
     """Run the dense trunk once and return {layer_path: {max_dy, max_dx}}.
 
@@ -43,9 +115,7 @@ def probe_dcn_offsets(model, params, images) -> dict:
         {"params": params}, images, method="extract",
         mutable=["intermediates"],
     )
-    out: dict = {}
-    _walk(mut.get("intermediates", {}), "", out)
-    return out
+    return stats_from_intermediates(mut)
 
 
 def check_window(stats: dict, max_dy: float, max_dx: float | None = None,
