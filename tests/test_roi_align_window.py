@@ -128,3 +128,56 @@ def test_window_through_custom_vjp(rng):
     g_win = jax.grad(lambda f: loss(f, "window"))(feats)
     for a, b in zip(g_win, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_window_bwd_kernel_matches_dense(rng):
+    """The per-RoI window-RMW backward kernel == the dense-matmul
+    backward, including multi-strip RoIs and all levels."""
+    from upsnet_tpu.ops.roi_align import _fpn_roi_align_bwd
+    from upsnet_tpu.ops.roi_align_pallas import fpn_roi_align_window_bwd
+
+    feats, strides = _pyramid(rng, 2, c=16)
+    rois = rng.uniform(0, 250, (2, 8, 4)).astype(np.float32)
+    rois[..., 2:] = rois[..., :2] + rng.uniform(4, 120, (2, 8, 2))
+    # force one multi-strip roi (window at P2 is 32x64 cells = 128x256 px)
+    rois[0, 0] = [2.0, 4.0, 310.0, 120.0]
+    rois = jnp.asarray(rois)
+    levels = jnp.asarray(rng.randint(0, 4, (2, 8)), jnp.int32)
+    g = jnp.asarray(rng.randn(2, 8, 7, 7, 16).astype(np.float32))
+
+    shapes = tuple(f.shape for f in feats)
+    dtypes = tuple(str(f.dtype) for f in feats)
+    ref = _fpn_roi_align_bwd(rois, levels, shapes,
+                             tuple(jnp.dtype(d) for d in dtypes), g,
+                             pooled=7, sampling_ratio=2, strides=strides)
+    got = fpn_roi_align_window_bwd(shapes, dtypes, rois, levels, g,
+                                   pooled=7, sampling_ratio=2,
+                                   strides=strides)
+    for l, (a, b) in enumerate(zip(got, ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, err_msg=f"level {l}")
+
+
+def test_window_bwd_pooled14(rng):
+    """Mask-pool shape (pooled=14 -> pq_pad 200 != 196 padding path)."""
+    from upsnet_tpu.ops.roi_align import _fpn_roi_align_bwd
+    from upsnet_tpu.ops.roi_align_pallas import fpn_roi_align_window_bwd
+
+    feats, strides = _pyramid(rng, 1, c=16)
+    rois = rng.uniform(0, 200, (1, 4, 4)).astype(np.float32)
+    rois[..., 2:] = rois[..., :2] + rng.uniform(8, 60, (1, 4, 2))
+    rois = jnp.asarray(rois)
+    levels = jnp.asarray(rng.randint(0, 4, (1, 4)), jnp.int32)
+    g = jnp.asarray(rng.randn(1, 4, 14, 14, 16).astype(np.float32))
+
+    shapes = tuple(f.shape for f in feats)
+    dtypes = tuple(str(f.dtype) for f in feats)
+    ref = _fpn_roi_align_bwd(rois, levels, shapes,
+                             tuple(jnp.dtype(d) for d in dtypes), g,
+                             pooled=14, sampling_ratio=2, strides=strides)
+    got = fpn_roi_align_window_bwd(shapes, dtypes, rois, levels, g,
+                                   pooled=14, sampling_ratio=2,
+                                   strides=strides)
+    for l, (a, b) in enumerate(zip(got, ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, err_msg=f"level {l}")

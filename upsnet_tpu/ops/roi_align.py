@@ -236,9 +236,19 @@ def _roi_align_core_bwd(pooled, sampling_ratio, strides, chunk, meta, impl,
     rois, levels = res
     shapes = tuple(m[0] for m in meta)
     dtypes = tuple(jnp.dtype(m[1]) for m in meta)
-    grads = _fpn_roi_align_bwd(
-        rois, levels, shapes, dtypes, g, pooled, sampling_ratio, strides
-    )
+    if impl == "window" and jax.default_backend() in ("tpu", "axon"):
+        # gradient twin of the windowed forward kernel: per-RoI window
+        # RMW instead of the dense full-canvas scan accumulator
+        from upsnet_tpu.ops.roi_align_pallas import fpn_roi_align_window_bwd
+
+        grads = fpn_roi_align_window_bwd(
+            shapes, tuple(str(d) for d in dtypes), rois, levels, g,
+            pooled, sampling_ratio, strides
+        )
+    else:
+        grads = _fpn_roi_align_bwd(
+            rois, levels, shapes, dtypes, g, pooled, sampling_ratio, strides
+        )
     g_rois = jnp.zeros_like(rois)
     g_lev = np.zeros(levels.shape, dtype=jax.dtypes.float0)
     return grads, g_rois, g_lev
