@@ -76,13 +76,15 @@ def main():
         t = timed(dense, pyramid, rois, lv, perturb=1)
         print(f"fwd[dense ck={ck:3d}]: {t*1e3:7.1f} ms")
 
-    def loss(py, r, l):
-        return jnp.sum(fpn_roi_align_batched(
-            py, r, l, pooled=p).astype(jnp.float32) ** 2)
+    for impl in ("gather", "window"):
+        def loss(py, r, l, impl=impl):
+            return jnp.sum(fpn_roi_align_batched(
+                py, r, l, pooled=p, impl=impl).astype(jnp.float32) ** 2)
 
-    bwd = jax.jit(jax.grad(loss, argnums=0))
-    t = timed(bwd, pyramid, rois, lv, perturb=1)
-    print(f"bwd[custom dense]: {t*1e3:7.1f} ms")
+        bwd = jax.jit(jax.grad(loss, argnums=0))
+        t = timed(bwd, pyramid, rois, lv, perturb=1)
+        label = "custom dense" if impl == "gather" else "window RMW"
+        print(f"bwd[{label}] (impl={impl}): {t*1e3:7.1f} ms")
 
 
 if __name__ == "__main__":

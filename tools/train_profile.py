@@ -240,13 +240,17 @@ def _full_step(args, jax, jnp):
             cfg_a = cfg.replace(network=dataclasses.replace(
                 cfg.network, **net_kw))
             f_a = jax.jit(make_loss(cfg_a))
+            g_a = jax.jit(jax.grad(make_loss(cfg_a)))
             try:
                 t_a = timed(f_a, params, batch, k, np.float32(0), n=3,
                             warmup=1, perturb=3)
-                print(f"{label}: loss-only {t_a*1e3:7.1f} ms")
+                t_ga = timed(g_a, params, batch, k, np.float32(0), n=3,
+                             warmup=1, perturb=3)
+                print(f"{label}: loss-only {t_a*1e3:7.1f} ms   "
+                      f"grad {t_ga*1e3:7.1f} ms")
             except Exception as e:
                 print(f"{label}: FAILED ({type(e).__name__})")
-            del f_a
+            del f_a, g_a
             jax.clear_caches()
             gc.collect()
     try:

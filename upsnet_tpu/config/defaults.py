@@ -163,6 +163,12 @@ class TrainConfig:
     # ~25% step time for the trunk's activation memory, enabling larger
     # per-chip batches (b8 train OOMs without it on 16G HBM)
     remat: bool = True
+    # remat policy: 'save_dcn' keeps the named 'dcn_out' deform-sample
+    # outputs across the remat boundary (a few tens of MB at flagship
+    # shapes) so the backward's forward-recompute skips the expensive
+    # sampling kernels — their VJP rebuilds the per-tap windows from x
+    # with one cheap matmul. '' = plain full remat.
+    remat_policy: str = "save_dcn"
     # TPU-specific static shapes
     # Images are bucketed/padded to these (H, W) shapes (multiples of 64).
     image_buckets: Tuple[Tuple[int, int], ...] = ((832, 1344), (1344, 832))

@@ -42,7 +42,11 @@ class Cityscapes(BaseDataset):
     def __init__(self, cfg, split: str | None = None, training: bool = True):
         super().__init__(cfg, training)
         self.root = cfg.dataset.dataset_path
-        self.split = split or ("train" if training else "val")
+        # split precedence: explicit arg > config image sets (reference
+        # semantics: dataset.image_set / test_image_set) > train/val
+        cfg_split = (cfg.dataset.image_set if training
+                     else cfg.dataset.test_image_set)
+        self.split = split or cfg_split or ("train" if training else "val")
         pattern = os.path.join(
             self.root, "leftImg8bit", self.split, "*", "*_leftImg8bit.png"
         )

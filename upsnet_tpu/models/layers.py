@@ -118,28 +118,38 @@ class DeformConv(nn.Module):
         if self.impl == "auto":
             from upsnet_tpu.ops.deform_conv import deform_conv2d_auto
 
-            return deform_conv2d_auto(
+            y = deform_conv2d_auto(
                 x.astype(self.dtype), offsets, w, b,
                 kernel_size=k, dilation=self.dilation, max_dy=self.max_dy,
             )
-        if self.impl == "pallas":
+        elif self.impl == "pallas":
             from upsnet_tpu.ops.deform_conv_pallas import deform_conv2d_pallas
 
-            return deform_conv2d_pallas(
+            y = deform_conv2d_pallas(
                 x.astype(self.dtype), offsets, w, b,
                 kernel_size=k, dilation=self.dilation, max_dy=self.max_dy,
                 boundary_grad=self.boundary_grad,
             )
-        if self.impl == "mxu":
-            return deform_conv2d_mxu(
+        elif self.impl == "mxu":
+            y = deform_conv2d_mxu(
                 x.astype(self.dtype), offsets, w, b,
                 kernel_size=k, dilation=self.dilation, max_dy=self.max_dy,
                 boundary_grad=self.boundary_grad,
             )
-        return deform_conv2d_batched(
-            x.astype(self.dtype), offsets, w, b,
-            kernel_size=k, dilation=self.dilation,
-        )
+        else:
+            y = deform_conv2d_batched(
+                x.astype(self.dtype), offsets, w, b,
+                kernel_size=k, dilation=self.dilation,
+            )
+        # named for the remat policy (train.remat_policy='save_dcn'): the
+        # sampling kernels are the expensive part of the rematted extract;
+        # saving their outputs (~a few tens of MB at flagship shapes) lets
+        # the backward's forward-recompute DCE them entirely. The VJP only
+        # needs the projected per-tap windows, rebuilt from x by one cheap
+        # matmul.
+        from jax.ad_checkpoint import checkpoint_name
+
+        return checkpoint_name(y, "dcn_out")
 
 
 def conv(features, kernel, stride=1, use_bias=False, dtype=jnp.float32, name=None,

@@ -208,7 +208,10 @@ def forward_train(model, params, cfg: Config, anchors, batch, key):
     crowd_valid = batch.get("crowd_valid", jnp.zeros((bsz, gc), bool))
     extract = lambda p, im: model.apply({"params": p}, im, method="extract")
     if tc.remat:
-        extract = jax.checkpoint(extract)
+        policy = None
+        if tc.remat_policy == "save_dcn":
+            policy = jax.checkpoint_policies.save_only_these_names("dcn_out")
+        extract = jax.checkpoint(extract, policy=policy)
     pyramid, rpn_cls, rpn_bbox, fcn_logits = extract(params, images)
     cls_flat, bbox_flat = _flatten_rpn(rpn_cls, rpn_bbox)
     anchors_cat = jnp.concatenate(anchors, axis=0)

@@ -355,18 +355,25 @@ def _sample_ref(y_pad, sy, sx, max_dy: int, col_off: int = 1):
 
 
 # ---------------------------------------------------------------------------
-# hand-written backward kernel (VERDICT r1 item #3)
+# hand-written backward kernel (VERDICT r1 item #3; RMW rewrite r3)
 #
 # The VJP of deform_sample has three parts, all expressible with the same
 # hat-tile structure as the forward:
 #   * grad_y: transpose of the per-row matmul — for candidate a,
-#     gwin[li + a] += tile_a (wp, w) @ g_row (w, c); windows overlap across
-#     row blocks, so each program emits its private window and XLA
-#     overlap-adds the (B, nb, win_rows, wp, C) buffer with 3 shifted adds;
-#   * grad_sy[j] = sum_a sum_col hat'(dy_a) * vx[col, j] * E_a[col, j]
-#   * grad_sx[j] = sum_a sum_col hat(dy_a) * vx'[col, j] * E_a[col, j]
-#     where E_a (wp, w) = win[li + a] (wp, c) @ g_row^T — one more small
-#     MXU matmul per candidate, then VPU reductions over sublanes.
+#     gacc[li + a] += vx (wp, w) @ (vy ⊙ g_row) (w, c); the per-block
+#     window accumulator is read-modify-written straight into the full
+#     (B, Hpad, Wp, C) f32 grad canvas in HBM (TPU grid programs run
+#     sequentially on the core and the write DMA is waited before the next
+#     program's overlapping read starts — same race-free RMW pattern as
+#     roi_align_pallas._window_bwd_kernel). This replaced the round-2
+#     scheme (private per-block (B, nb, win_pad, wp, C) buffers + a
+#     3-pass XLA overlap-add), whose write amplification and per-block
+#     zeroing were ~40% of the backward at small offsets;
+#   * grad_sy[j] = sum_a dvy[j] * sum_c part_a[j, c] * g[j, c]
+#   * grad_sx[j] = sum_a  vy[j] * sum_c dpart_a[j, c] * g[j, c]
+#     where [part_a; dpart_a] (2w, c) = [vx, dvx]^T (wp, 2w) @ win_a
+#     (wp, c) — ONE stacked matmul per candidate instead of two (the
+#     stacked operand is built and cast once per row).
 #
 # This replaces the round-1 fallback (jax.vjp through the dense jnp
 # reference), which materialized (B, H, W, Wp) hat tensors in HBM and ran
@@ -374,17 +381,17 @@ def _sample_ref(y_pad, sy, sx, max_dy: int, col_off: int = 1):
 # ---------------------------------------------------------------------------
 
 
-def _sample_bwd_kernel(sy_ref, syt_ref, sx_ref, g_ref, y_hbm, gwin_ref,
-                       gsyt_ref, gsxt_ref, win, gwin_acc, sem, *, h: int,
-                       w: int, wp: int, c: int, r: int, win_pad: int,
+def _sample_bwd_kernel(sy_ref, syt_ref, sx_ref, g_ref, y_hbm, z_hbm,
+                       canvas_ref, gsyt_ref, gsxt_ref, win, gacc, sem, sem2,
+                       *, h: int, w: int, wp: int, c: int, r: int,
                        col_off: int, rb: int):
     """Backward with the same post-matmul vertical-hat factoring as the
     forward. Per candidate a:
 
-      grad-to-window:  gwin[li+a] += vx^T-matmul of (vy ⊙ g_row)
-      offset grads:    part_a = vx^T win_a, dpart_a = dvx^T win_a (both
-                       (w, c)); gsy += dvy ⊙ Σ_c(part_a ⊙ g_row),
-                       gsx += vy ⊙ Σ_c(dpart_a ⊙ g_row)
+      grad-to-window:  gacc[li+a] += vx^T-matmul of (vy ⊙ g_row)
+      offset grads:    [part_a; dpart_a] = [vx, dvx] (wp, 2w) ^T win_a
+                       in ONE stacked matmul; gsy += dvy ⊙ Σ_c(part ⊙ g),
+                       gsx += vy ⊙ Σ_c(dpart ⊙ g)
 
     using Σ_q vx[q,j] Σ_c win[q,c] g[j,c] = Σ_c part[j,c] g[j,c] — the
     hadamard-colsum against the (wp, w) E-matrix becomes a (w, c)
@@ -392,7 +399,13 @@ def _sample_bwd_kernel(sy_ref, syt_ref, sx_ref, g_ref, y_hbm, gwin_ref,
     disappears (vx/dvx are built + cast once per row). vy/dvy live as
     (w, 1) sublane columns (from syt), so gsy/gsx accumulate in
     transposed (w, rb) orientation; the caller transposes them back.
+
+    gacc is the program's slice of the f32 grad canvas, fetched by a
+    read-modify-write window DMA (sequential grid ⇒ race-free; the write
+    is waited before returning so the next program's overlapping read
+    observes it).
     """
+    del z_hbm  # aliased with canvas_ref; zero-filled by the caller
     rb_idx = pl.program_id(1)
     i0 = rb_idx * rb
     a_n = 2 * r + 3
@@ -403,13 +416,17 @@ def _sample_bwd_kernel(sy_ref, syt_ref, sx_ref, g_ref, y_hbm, gwin_ref,
         y_hbm.at[b_idx, pl.ds(i0 + 1, win_rows)], win, sem
     )
     dma.start()
+    rmw = pltpu.make_async_copy(
+        canvas_ref.at[b_idx, pl.ds(i0 + 1, win_rows)], gacc, sem2
+    )
+    rmw.start()
 
     cols_t = (
         jax.lax.broadcasted_iota(jnp.int32, (wp, w), 0).astype(jnp.float32)
         - jnp.float32(col_off)
     )
-    gwin_acc[...] = jnp.zeros((win_pad, wp, c), jnp.float32)
     dma.wait()
+    rmw.wait()
 
     for li in range(rb):
         sy_r = sy_ref[0, li:li + 1, :]  # (1, w)
@@ -425,7 +442,9 @@ def _sample_bwd_kernel(sy_ref, syt_ref, sx_ref, g_ref, y_hbm, gwin_ref,
         dvx_t = jnp.where(
             (jnp.abs(dx) < 1.0) & inside, -jnp.sign(dx), 0.0
         ).astype(win.dtype)
+        vdv = jnp.concatenate([vx_t, dvx_t], axis=1)  # (wp, 2w)
         g_row = g_ref[0, li]  # (w, c)
+        gf32 = g_row.astype(jnp.float32)
         i_glob = jnp.float32(i0 * 1.0) + li
         base = i_glob - (r + 1.0)
         # candidate-skip range loop (see _sample_kernel): vy > 0 and
@@ -450,21 +469,15 @@ def _sample_bwd_kernel(sy_ref, syt_ref, sx_ref, g_ref, y_hbm, gwin_ref,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (wp, c)
-            gwin_acc[pl.dslice(li + a, 1)] += contrib[None]
+            gacc[pl.dslice(li + a, 1)] += contrib[None]
             win_a = win[pl.dslice(li + a, 1)][0]  # (wp, c)
-            part = jax.lax.dot_general(
-                vx_t, win_a,
+            pd = jax.lax.dot_general(
+                vdv, win_a,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (w, c)
-            dpart = jax.lax.dot_general(
-                dvx_t, win_a,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (w, c)
-            gf32 = g_row.astype(jnp.float32)
-            gy = gy + dvy * jnp.sum(part * gf32, axis=1, keepdims=True)
-            gx = gx + vy * jnp.sum(dpart * gf32, axis=1, keepdims=True)
+            )  # (2w, c): part rows then dpart rows
+            gy = gy + dvy * jnp.sum(pd[:w] * gf32, axis=1, keepdims=True)
+            gx = gx + vy * jnp.sum(pd[w:] * gf32, axis=1, keepdims=True)
             return gy, gx
 
         zero = jnp.zeros((w, 1), jnp.float32)
@@ -473,7 +486,12 @@ def _sample_bwd_kernel(sy_ref, syt_ref, sx_ref, g_ref, y_hbm, gwin_ref,
         )
         gsyt_ref[0, 0, :, li:li + 1] = gsy_acc
         gsxt_ref[0, 0, :, li:li + 1] = gsx_acc
-    gwin_ref[0, 0] = gwin_acc[...].astype(gwin_ref.dtype)
+
+    wr = pltpu.make_async_copy(
+        gacc, canvas_ref.at[b_idx, pl.ds(i0 + 1, win_rows)], sem2
+    )
+    wr.start()
+    wr.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("max_dy", "col_off"))
@@ -481,28 +499,34 @@ def _sample_pallas_bwd(y_pad, sy, sx, g, max_dy: int, col_off: int = 1):
     """Backward of _sample_pallas (and, with col_off = max_dx + 2, of the
     column-tiled forward — the bwd kernel processes full rows, whose VMEM
     footprint stays small even at Cityscapes widths). Returns
-    (grad_y_pad, grad_sy, grad_sx)."""
+    (grad_y_pad, grad_sy, grad_sx).
+
+    The grad canvas is accumulated in-kernel by window RMW (see the block
+    comment above), so the only HBM temp is the (B, Hpad, Wp, C) f32
+    canvas itself — the round-2 per-block gwin buffers (3x write
+    amplification + per-block VMEM zeroing + a 3-pass XLA overlap-add)
+    are gone, which also lifts the old rb=8 OOM ceiling: rb=16 fits
+    comfortably and halves the per-program fixed cost.
+    """
     b, hpad, wp, c = y_pad.shape
     _, h, w = sy.shape
     r = max_dy
-    # rows per program: kept at RB=8. Unlike the forward (rb=104 there),
-    # larger backward blocks made the b8 flagship train step OOM HBM at
-    # RUNTIME (reproducibly, rb=16 with either 64 or 96MB vmem caps) —
-    # the rematted backward holds this kernel's gwin outputs alongside
-    # the recomputed forward, and the bigger per-block win_pad padding
-    # tips the ~15G peak over. Revisit only with a measured memory win.
     rb = RB
+    for cand in (16,):  # win+gacc VMEM at rb=16, wp=384: ~12 MB — fine
+        if h % cand == 0:
+            rb = cand
+            break
     n_blocks = h // rb
     win_rows = rb + 2 * r + 2
-    win_pad = _round_up(win_rows, rb)
 
     syt = sy.reshape(b, n_blocks, rb, w).swapaxes(2, 3)
+    zeros = jnp.zeros((b, hpad, wp, c), jnp.float32)
 
     kernel = functools.partial(
-        _sample_bwd_kernel, h=h, w=w, wp=wp, c=c, r=r, win_pad=win_pad,
+        _sample_bwd_kernel, h=h, w=w, wp=wp, c=c, r=r,
         col_off=col_off, rb=rb,
     )
-    gwin, gsyt, gsxt = pl.pallas_call(
+    grad, gsyt, gsxt = pl.pallas_call(
         kernel,
         grid=(b, n_blocks),
         in_specs=[
@@ -515,50 +539,33 @@ def _sample_pallas_bwd(y_pad, sy, sx, g, max_dy: int, col_off: int = 1):
             pl.BlockSpec((1, rb, w, c), lambda bi, ri: (bi, ri, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # y_pad stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # zeroed canvas (aliased)
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, win_pad, wp, c),
-                         lambda bi, ri: (bi, ri, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, w, rb), lambda bi, ri: (bi, ri, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, w, rb), lambda bi, ri: (bi, ri, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, n_blocks, win_pad, wp, c), y_pad.dtype),
+            jax.ShapeDtypeStruct((b, hpad, wp, c), jnp.float32),
             jax.ShapeDtypeStruct((b, n_blocks, w, rb), jnp.float32),
             jax.ShapeDtypeStruct((b, n_blocks, w, rb), jnp.float32),
         ),
+        input_output_aliases={5: 0},
         scratch_shapes=[
             pltpu.VMEM((win_rows, wp, c), y_pad.dtype),
-            pltpu.VMEM((win_pad, wp, c), jnp.float32),
+            pltpu.VMEM((win_rows, wp, c), jnp.float32),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,  # v5e VMEM is 128MB
         ),
-    )(sy, syt, sx, g, y_pad)
-    gsy = gsyt.swapaxes(2, 3).reshape(b, h, w)
-    gsx = gsxt.swapaxes(2, 3).reshape(b, h, w)
-
-    # overlap-add the per-block windows: block t's window row q lands on
-    # y_pad row 1 + t*rb + q; chunks of rb rows keep every add contiguous.
-    grad = jnp.zeros((b, hpad, wp, c), jnp.float32)
-    for k in range(win_pad // rb):
-        seg = gwin[:, :, k * rb:(k + 1) * rb].astype(jnp.float32)
-        seg = seg.reshape(b, n_blocks * rb, wp, c)
-        start = 1 + k * rb
-        end = min(start + n_blocks * rb, hpad)
-        grad = jax.lax.dynamic_update_slice(
-            grad,
-            jax.lax.dynamic_slice(
-                grad, (0, start, 0, 0), (b, end - start, wp, c)
-            ) + seg[:, : end - start],
-            (0, start, 0, 0),
-        )
-    gsy = gsy.astype(sy.dtype)
-    gsx = gsx.astype(sx.dtype)
+    )(sy, syt, sx, g, y_pad, zeros)
+    gsy = gsyt.swapaxes(2, 3).reshape(b, h, w).astype(sy.dtype)
+    gsx = gsxt.swapaxes(2, 3).reshape(b, h, w).astype(sx.dtype)
     return grad.astype(y_pad.dtype), gsy, gsx
 
 
