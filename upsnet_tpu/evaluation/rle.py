@@ -23,9 +23,13 @@ from upsnet_tpu.evaluation import rle_native as _native
 
 
 def mask_to_counts(mask: np.ndarray) -> np.ndarray:
-    """Binary (H, W) mask -> run-length counts (column-major, 0s first)."""
-    if _native.available():
-        return _native.mask_to_counts(mask)
+    """Binary (H, W) mask -> run-length counts (column-major, 0s first).
+
+    Always the numpy path: the vectorized flatnonzero run-split measured
+    FASTER than the serial C scan (1.7 vs 2.3 ms on a 832x1344 mask,
+    tools/bench_rle.py) — the native codec pays off on decode (5x) and
+    IoU (10x), not here.
+    """
     flat = np.asfortranarray(mask).reshape(-1, order="F").astype(np.uint8)
     if flat.size == 0:
         return np.array([0], dtype=np.int64)

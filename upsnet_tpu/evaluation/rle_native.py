@@ -15,6 +15,9 @@ import numpy as np
 
 _LIB = None
 _TRIED = False
+# benchmarking/testing escape hatch: force the numpy fallback even when
+# the shared library is built (tools/bench_rle.py flips this)
+FORCE_DISABLED = False
 
 
 def _load():
@@ -49,7 +52,7 @@ def _load():
 
 
 def available() -> bool:
-    return _load() is not None
+    return not FORCE_DISABLED and _load() is not None
 
 
 def _i64p(a: np.ndarray):
