@@ -150,3 +150,41 @@ def test_forward_predict_outputs(tiny_cfg, tiny_model_and_params, rng):
     # all finite
     for k in ("boxes", "mask_logits", "seg_logits"):
         assert np.all(np.isfinite(np.asarray(out[k]))), k
+
+
+@pytest.mark.slow
+def test_remat_policy_save_dcn_matches_plain_remat(
+    tiny_cfg, tiny_model_and_params, rng
+):
+    """train.remat_policy='save_dcn' (save named DeformConv outputs across
+    the extract remat boundary) must be a pure scheduling change: losses
+    and gradients identical to plain full remat and to no remat."""
+    model, params = tiny_model_and_params
+    anchors = tuple(jnp.asarray(a) for a in pyramid_anchors((H, W)))
+    batch = make_batch(rng)
+    key = jax.random.PRNGKey(7)
+
+    def grads_for(remat, policy):
+        cfg = tiny_cfg.replace(
+            train=dataclasses.replace(
+                tiny_cfg.train, remat=remat, remat_policy=policy
+            )
+        )
+
+        def loss_fn(p):
+            total, _ = forward_train(model, p, cfg, anchors, batch, key)
+            return total
+
+        return jax.value_and_grad(loss_fn)(params)
+
+    t_sd, g_sd = grads_for(True, "save_dcn")
+    t_plain, g_plain = grads_for(True, "")
+    t_none, g_none = grads_for(False, "")
+    assert float(t_sd) == float(t_plain) == float(t_none)
+    for ga, gb in ((g_plain, g_sd), (g_none, g_sd)):
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
+            ),
+            ga, gb,
+        )
