@@ -278,7 +278,10 @@ def convert_upsnet_state(state: dict, params: dict, *, strict: bool = True):
             continue
         converted = _apply(spec, state, src, tgt_leaf)
         for name, arr in converted.items():
-            want = np.asarray(tgt_leaf[name]).shape
+            # .shape attr first: lets tools/convert_report.py feed
+            # jax.eval_shape structs instead of real init arrays
+            tgt = tgt_leaf[name]
+            want = getattr(tgt, "shape", None) or np.asarray(tgt).shape
             if arr.shape != want:
                 shape_errors.append(
                     f"{'.'.join(spec.target)}.{name}: source {src} gives "
