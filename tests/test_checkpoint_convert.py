@@ -1,6 +1,7 @@
 """Checkpoint roundtrip + torch converter tests."""
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -221,3 +222,67 @@ def test_coco_to_cityscapes_remap():
     np.testing.assert_array_equal(
         out["mask_head"]["mask_score"]["bias"][0],
         coco["mask_head"]["mask_score"]["bias"][0])
+
+
+def test_load_pretrained_any_orbax_dispatch(tmp_path):
+    """network.pretrained pointing at an orbax snapshot ('.../latest'
+    pointer included) loads directly on a tree match and routes through
+    the COCO->Cityscapes head remap on a class-count mismatch
+    (SURVEY.md §5.4 fine-tune path)."""
+    import logging
+
+    from upsnet_tpu.train.checkpoints import save_checkpoint
+    from upsnet_tpu.train.trainer import load_pretrained_any
+
+    logger = logging.getLogger("test")
+    rng = np.random.RandomState(0)
+    coco = {
+        "backbone_net": {"conv1": {
+            "kernel": rng.randn(7, 7, 3, 8).astype(np.float32)}},
+        "box_head": {
+            "cls_score": {
+                "kernel": rng.randn(16, 81).astype(np.float32),
+                "bias": rng.randn(81).astype(np.float32)},
+            "bbox_pred": {
+                "kernel": rng.randn(16, 324).astype(np.float32),
+                "bias": rng.randn(324).astype(np.float32)},
+        },
+    }
+    ckpt_dir = str(tmp_path / "checkpoints")
+    save_checkpoint(ckpt_dir, 120, coco, {"momentum": np.zeros(3, np.float32)})
+    latest_ptr = os.path.join(ckpt_dir, "latest")
+
+    # exact tree match -> loaded verbatim via the 'latest' pointer
+    same_tpl = jax.tree.map(np.zeros_like, coco)
+    out = load_pretrained_any(latest_ptr, same_tpl, logger)
+    np.testing.assert_array_equal(
+        np.asarray(out["backbone_net"]["conv1"]["kernel"]),
+        coco["backbone_net"]["conv1"]["kernel"])
+
+    # cityscapes-shaped target -> remap: backbone copied, car col mapped
+    city_tpl = {
+        "backbone_net": {"conv1": {
+            "kernel": np.zeros((7, 7, 3, 8), np.float32)}},
+        "box_head": {
+            "cls_score": {
+                "kernel": np.zeros((16, 9), np.float32),
+                "bias": np.zeros(9, np.float32)},
+            "bbox_pred": {
+                "kernel": np.zeros((16, 36), np.float32),
+                "bias": np.zeros(36, np.float32)},
+        },
+    }
+    out = load_pretrained_any(latest_ptr, city_tpl, logger)
+    np.testing.assert_array_equal(
+        np.asarray(out["backbone_net"]["conv1"]["kernel"]),
+        coco["backbone_net"]["conv1"]["kernel"])
+    np.testing.assert_array_equal(
+        np.asarray(out["box_head"]["cls_score"]["kernel"])[:, 3],
+        coco["box_head"]["cls_score"]["kernel"][:, 3])
+
+    # missing snapshots fail loudly
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        load_pretrained_any(str(tmp_path / "empty" / "latest"),
+                            same_tpl, logger)

@@ -31,6 +31,49 @@ from upsnet_tpu.train.optimizer import make_optimizer
 from upsnet_tpu.utils.logging import AverageMeter, create_logger
 
 
+def load_pretrained_any(path: str, params, logger):
+    """Resolve ``network.pretrained`` with the reference's fine-tune
+    semantics (SURVEY.md §5.4):
+
+      * ``.pth`` file -> torch converter (UPSNet state dict or torchvision
+        ImageNet backbone);
+      * orbax snapshot dir (a ``.../latest`` tail resolves to the newest
+        ``step_*``) -> direct load when the trees match; when the class
+        dimensions differ (the Cityscapes-w-COCO configs), the COCO->
+        Cityscapes head remap copies every shape-matching leaf and
+        re-maps the class-dependent final layers.
+    """
+    from upsnet_tpu.train.checkpoints import _diff_against_template
+
+    if os.path.basename(path) == "latest" and not os.path.isdir(path):
+        resolved = latest_checkpoint(os.path.dirname(path))
+        if resolved is None:
+            raise FileNotFoundError(
+                f"pretrained '{path}': no step_* snapshots in "
+                f"{os.path.dirname(path)}")
+        path = resolved
+    if os.path.isdir(path):
+        src = restore_checkpoint(path, None, partial=True)["params"]
+        diffs = _diff_against_template(src, params)
+        if not diffs:
+            logger.info("pretrained: loaded %s (exact tree match)", path)
+            return src
+        from upsnet_tpu.convert.finetune import (
+            remap_coco_params_to_cityscapes,
+        )
+
+        logger.info(
+            "pretrained: %s differs from the target tree in %d leaves "
+            "(class-count change) -> COCO->Cityscapes head remap",
+            path, len(diffs),
+        )
+        return remap_coco_params_to_cityscapes(
+            src, jax.tree.map(np.asarray, params))
+    from upsnet_tpu.convert.torch_converter import load_pretrained
+
+    return load_pretrained(path, params, logger)
+
+
 def train(cfg: Config, dataset, logger=None, max_steps: int | None = None,
           params=None, use_mesh: bool = True):
     """Run training; returns (params, metrics_history)."""
@@ -43,9 +86,8 @@ def train(cfg: Config, dataset, logger=None, max_steps: int | None = None,
             jax.random.PRNGKey(cfg.seed), jnp.zeros((1,) + tuple(bucket) + (3,))
         )["params"]
         if cfg.network.pretrained:
-            from upsnet_tpu.convert.torch_converter import load_pretrained
-
-            params = load_pretrained(cfg.network.pretrained, params, logger)
+            params = load_pretrained_any(
+                cfg.network.pretrained, params, logger)
 
     optimizer = make_optimizer(cfg, params)
     opt_state = optimizer.init(params)
