@@ -79,8 +79,9 @@ def test_pallas_gradients_flow(rng):
 
 def test_pallas_backward_matches_autodiff(rng):
     """Hand-written per-tap backward kernel (incl. the candidate-skip range
-    loop and the rb=32 row-block path at h=64) == autodiff of the exact
-    gather impl; offsets inside the window so the clip never binds."""
+    loop and, at h=64, the rb=16 row-block + RMW canvas accumulation path)
+    == autodiff of the exact gather impl; offsets inside the window so the
+    clip never binds."""
     x = rng.randn(1, 64, 12, 8).astype(np.float32)
     offsets = (rng.randn(1, 64, 12, 18) * 1.2).astype(np.float32)
     weight = rng.randn(9, 8, 8).astype(np.float32) * 0.1

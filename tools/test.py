@@ -17,7 +17,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cfg", required=True)
-    ap.add_argument("--weights", default=None, help="orbax checkpoint path")
+    ap.add_argument("--weights", "--weight_path", default=None,
+                    help="orbax checkpoint path (--weight_path is the "
+                         "reference CLI's spelling)")
     ap.add_argument("--dataset-override", default=None)
     ap.add_argument("--max-images", type=int, default=None)
     ap.add_argument("--no-artifacts", action="store_true",
