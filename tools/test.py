@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--max-images", type=int, default=None)
     ap.add_argument("--no-artifacts", action="store_true",
                     help="skip writing panoptic PNG/JSON artifacts")
+    ap.add_argument("--no-mesh", action="store_true",
+                    help="force single-device per-image eval (default "
+                         "batches images over the device mesh)")
     args = ap.parse_args()
 
     from upsnet_tpu.utils.platform import honor_env_platform
@@ -58,6 +61,7 @@ def main():
         max_images=args.max_images,
         output_dir=None if args.no_artifacts else os.path.join(
             out_dir, "panoptic"),
+        use_mesh=not args.no_mesh,
     )
     from upsnet_tpu.evaluation.coco_eval import format_table
 

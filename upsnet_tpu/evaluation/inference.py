@@ -125,7 +125,8 @@ def postprocess_image(cfg: Config, dataset, out_i: dict, meta: dict):
 
 
 def run_evaluation(cfg: Config, dataset, weights=None, logger=None,
-                   max_images=None, params=None, output_dir=None):
+                   max_images=None, params=None, output_dir=None,
+                   use_mesh: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -143,6 +144,17 @@ def run_evaluation(cfg: Config, dataset, weights=None, logger=None,
             state = restore_checkpoint(weights, {"params": params}, partial=True)
             params = state["params"]
 
+    # multi-device eval: the reference shards the test im_list across GPUs
+    # (SURVEY.md §3.2); here images are batched n_dev at a time through a
+    # mesh-sharded predict step (same step the multichip dryrun asserts
+    # bit-equal with single-device). Single device -> plain per-image jit.
+    mesh = None
+    if use_mesh and len(jax.devices()) > 1:
+        from upsnet_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(cfg.num_devices)
+    n_dev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+
     anchors_by_bucket = {
         tuple(b): tuple(
             jnp.asarray(a)
@@ -151,10 +163,10 @@ def run_evaluation(cfg: Config, dataset, weights=None, logger=None,
         )
         for b in cfg.test.image_buckets
     }
+    from upsnet_tpu.parallel.steps import make_predict_step
+
     predict_by_bucket = {
-        b: jax.jit(
-            lambda p, batch, anc=anc: forward_predict(model, p, cfg, anc, batch)
-        )
+        b: make_predict_step(model, cfg, anc, mesh)
         for b, anc in anchors_by_bucket.items()
     }
 
@@ -195,21 +207,46 @@ def run_evaluation(cfg: Config, dataset, weights=None, logger=None,
         _write_artifacts(output_dir, all_pans, logger)
         return _summarize(dataset, all_dets, all_segs, all_pans)
 
+    done = 0
+    pending: dict = {}
+
+    def flush(bucket):
+        nonlocal done
+        group = pending.pop(bucket, [])
+        if not group:
+            return
+        k = len(group)
+        # pad the final partial group by repeating the last sample; padded
+        # lanes are computed and discarded (static shapes, no recompile)
+        padded = group + [group[-1]] * (n_dev - k)
+        batch = {
+            "images": jnp.asarray(np.stack([g["images"] for g in padded])),
+            "im_hw": jnp.asarray(np.stack([g["im_hw"] for g in padded])),
+        }
+        if mesh is not None:
+            from upsnet_tpu.parallel.mesh import shard_batch
+
+            batch = shard_batch(mesh, batch)
+        out = predict_by_bucket[bucket](params, batch)
+        out = jax.tree.map(np.asarray, out)
+        for j in range(k):
+            out_i = jax.tree.map(lambda x: x[j], out)
+            res = postprocess_image(cfg, dataset, out_i, group[j])
+            all_dets.extend(res["detections"])
+            all_segs.append(res["seg"])
+            all_pans.append(res["panoptic"])
+        done += k
+        if logger and (done // 50) != ((done - k) // 50):
+            logger.info("inference %d/%d", done, n)
+
     for i in shard:
         s = dataset.sample(i)
         bucket = tuple(s["images"].shape[:2])
-        batch = {
-            "images": jnp.asarray(s["images"])[None],
-            "im_hw": jnp.asarray(s["im_hw"])[None],
-        }
-        out = predict_by_bucket[bucket](params, batch)
-        out_i = jax.tree.map(lambda x: np.asarray(x[0]), out)
-        res = postprocess_image(cfg, dataset, out_i, s)
-        all_dets.extend(res["detections"])
-        all_segs.append(res["seg"])
-        all_pans.append(res["panoptic"])
-        if logger and (i + 1) % 50 == 0:
-            logger.info("inference %d/%d", i + 1, n)
+        pending.setdefault(bucket, []).append(s)
+        if len(pending[bucket]) == n_dev:
+            flush(bucket)
+    for bucket in list(pending):
+        flush(bucket)
 
     _write_artifacts(output_dir, all_pans, logger)
     return _summarize(dataset, all_dets, all_segs, all_pans)
