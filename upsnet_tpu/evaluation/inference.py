@@ -148,8 +148,10 @@ def run_evaluation(cfg: Config, dataset, weights=None, logger=None,
     # (SURVEY.md §3.2); here images are batched n_dev at a time through a
     # mesh-sharded predict step (same step the multichip dryrun asserts
     # bit-equal with single-device). Single device -> plain per-image jit.
+    # TTA stays per-image (its per-scale evidence merge is host-driven).
+    use_tta = bool(cfg.test.multi_scale) or cfg.test.flip_test
     mesh = None
-    if use_mesh and len(jax.devices()) > 1:
+    if use_mesh and not use_tta and len(jax.devices()) > 1:
         from upsnet_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(cfg.num_devices)
@@ -170,7 +172,6 @@ def run_evaluation(cfg: Config, dataset, weights=None, logger=None,
         for b, anc in anchors_by_bucket.items()
     }
 
-    use_tta = bool(cfg.test.multi_scale) or cfg.test.flip_test
     all_dets, all_segs, all_pans = [], [], []
     n = len(dataset) if max_images is None else min(max_images, len(dataset))
     # multi-host eval: shard images across processes; each host evaluates
