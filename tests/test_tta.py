@@ -96,3 +96,33 @@ def test_run_evaluation_tta_smoke():
     res = run_evaluation(cfg, ds, max_images=2)
     assert "panoptic" in res and "boxes" in res
     assert np.isfinite(res["panoptic"]["All"]["pq"])
+
+
+@pytest.mark.slow
+def test_run_evaluation_mesh_matches_single_device():
+    """Mesh-batched eval (images grouped n_dev at a time through the
+    sharded predict step, final partial group padded) produces the same
+    evaluator outputs as the per-image single-device path."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    cfg = load_config("experiments/upsnet_tiny_synthetic.yaml")
+    ds = SyntheticDataset(cfg, num_images=3, training=False)  # 3 < n_dev:
+    # exercises the padded partial-group flush
+    got = run_evaluation(cfg, ds, max_images=3, use_mesh=True)
+    want = run_evaluation(cfg, ds, max_images=3, use_mesh=False)
+
+    def flat(d, prefix=""):
+        out = {}
+        for k, v in sorted(d.items()):
+            if isinstance(v, dict):
+                out.update(flat(v, f"{prefix}{k}/"))
+            else:
+                out[f"{prefix}{k}"] = v
+        return out
+
+    g, w = flat(got), flat(want)
+    assert g.keys() == w.keys()
+    for k in g:
+        np.testing.assert_allclose(g[k], w[k], err_msg=k)
