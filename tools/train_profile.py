@@ -61,6 +61,13 @@ def main():
                     help="attribute train-forward cost by head ablation")
     ap.add_argument("--skip-micro", action="store_true",
                     help="skip the deform/roialign microbenches")
+    ap.add_argument("--impl-train", default=None,
+                    help="dcn_impl_train override (bench.py uses 'pallas')")
+    ap.add_argument("--perturb-offsets", action="store_true",
+                    help="bias offset convs to bench.py's +-2px magnitudes")
+    ap.add_argument("--only-stage", default=None,
+                    help="run ONE stage ablation: extract | -pan | -fcn "
+                         "(keeps each invocation under the relay timeout)")
     args = ap.parse_args()
 
     import jax
@@ -157,6 +164,42 @@ def _microbench(args, jax, jnp):
     gc.collect()
 
 
+def _one_stage(args, cfg, model, params, batch, k, make_loss, jax, jnp):
+    """Time ONE ablation (grad incl.) so each run fits the relay timeout."""
+    import dataclasses
+
+    import numpy as np
+
+    name = args.only_stage
+    if name == "extract":
+        def extract_loss(p, batch, k, eps):
+            images = batch["images"] + eps
+            outs = model.apply({"params": p}, images, method="extract")
+            return sum(jnp.sum(o.astype(jnp.float32) ** 2)
+                       for o in jax.tree.leaves(outs))
+
+        extract = extract_loss
+        if cfg.train.remat:
+            pass  # extract is the remat target itself; time it plain
+        f = jax.jit(extract)
+        g = jax.jit(jax.grad(extract))
+        t_f = timed(f, params, batch, k, np.float32(0), n=3, warmup=1,
+                    perturb=3)
+        t_g = timed(g, params, batch, k, np.float32(0), n=3, warmup=1,
+                    perturb=3)
+        print(f"  extract (backbone+fpn+rpn+fcn): loss {t_f*1e3:7.1f} ms   "
+              f"grad {t_g*1e3:7.1f} ms")
+        return
+    net_kw = {"-pan": {"has_panoptic_head": False},
+              "-fcn": {"has_panoptic_head": False, "has_fcn_head": False}}[name]
+    cfg_a = cfg.replace(network=dataclasses.replace(cfg.network, **net_kw))
+    f = jax.jit(make_loss(cfg_a))
+    g = jax.jit(jax.grad(make_loss(cfg_a)))
+    t_f = timed(f, params, batch, k, np.float32(0), n=3, warmup=1, perturb=3)
+    t_g = timed(g, params, batch, k, np.float32(0), n=3, warmup=1, perturb=3)
+    print(f"  {name}: loss-only {t_f*1e3:7.1f} ms   grad {t_g*1e3:7.1f} ms")
+
+
 def _full_step(args, jax, jnp):
     import gc
 
@@ -171,13 +214,29 @@ def _full_step(args, jax, jnp):
     if args.impl:
         cfg = cfg.replace(network=dataclasses.replace(
             cfg.network, dcn_impl=args.impl))
+    if args.impl_train:
+        cfg = cfg.replace(network=dataclasses.replace(
+            cfg.network, dcn_impl_train=args.impl_train))
     cfg = cfg.replace(train=dataclasses.replace(
         cfg.train, remat=args.remat, batch_size=args.batch,
         max_gt_instances=20))
     bucket = tuple(cfg.train.image_buckets[0])
     model = build_model(cfg)
+    impl_train = cfg.network.dcn_impl_train or cfg.network.dcn_impl
+    if impl_train != cfg.network.dcn_impl and hasattr(model, "dcn_impl"):
+        # mirror make_train_step's swap (parallel/steps.py): profile the
+        # impl the train step actually runs
+        cfg = cfg.replace(network=dataclasses.replace(
+            cfg.network, dcn_impl=impl_train))
+        model = model.clone(dcn_impl=impl_train)
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1,) + bucket + (3,)))["params"]
+    if args.perturb_offsets:
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        from bench import _perturb_offset_convs
+
+        params = _perturb_offset_convs(params)
     anchors = tuple(jnp.asarray(a) for a in pyramid_anchors(bucket))
     ds = SyntheticDataset(cfg, num_images=args.batch, image_hw=bucket,
                           training=True)
@@ -197,9 +256,12 @@ def _full_step(args, jax, jnp):
         return loss_fn
 
     loss_fn = make_loss(cfg)
+    k = jax.random.PRNGKey(1)
+    if args.only_stage:
+        _one_stage(args, cfg, model, params, batch, k, make_loss, jax, jnp)
+        return
     fwd = jax.jit(loss_fn)
     grad = jax.jit(jax.grad(loss_fn))
-    k = jax.random.PRNGKey(1)
     try:
         t_f = timed(fwd, params, batch, k, np.float32(0), n=3, warmup=1,
                     perturb=3)

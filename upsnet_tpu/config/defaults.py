@@ -45,7 +45,10 @@ class NetworkConfig:
     # runtime lax.cond fallback to the exact gather path when any offset
     # leaves the window — DCNv1-exact for arbitrary offsets) | 'pallas' |
     # 'mxu' (both exact for |dy| <= dcn_max_dy, offsets clipped to the
-    # window) | 'gather' (unbounded-exact; simplest gradients)
+    # window) | 'gather' (unbounded-exact; simplest gradients) | 'shift'
+    # (opt-in 9-tap shift-FMA kernel, exact for |dy|,|dx| <= dcn_max_dy;
+    # ties 'pallas' at trained offsets, slower on random fields — kept
+    # for experimentation, see ops/deform_shift_pallas.py)
     dcn_impl: str = "auto"
     # DCN impl for the TRAIN step only. Default "" = inherit dcn_impl, so
     # an explicit dcn_impl choice is never silently overridden for

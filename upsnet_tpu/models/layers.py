@@ -69,6 +69,9 @@ class DeformConv(nn.Module):
     #           falls back to 'mxu' off-TPU or for unaligned shapes)
     # 'mxu':    dense XLA hat-matmul sampling (exact for |dy| <= max_dy)
     # 'gather': unbounded-exact XLA gather path
+    # 'shift':  opt-in 9-tap shift-FMA kernel (exact for |dy|,|dx| <=
+    #           max_dy; ties 'pallas' at trained offsets — experimentation
+    #           only, see ops/deform_shift_pallas.py)
     impl: str = "auto"
     max_dy: int = 6
     # gradient at the window clip boundary for the clipping impls
@@ -130,6 +133,32 @@ class DeformConv(nn.Module):
                 kernel_size=k, dilation=self.dilation, max_dy=self.max_dy,
                 boundary_grad=self.boundary_grad,
             )
+        elif self.impl == "shift":
+            # opt-in 9-tap shift-FMA kernel (deform_shift_pallas.py): ties
+            # the hat-matmul default at trained/smooth offsets, collapses at
+            # random offset fields — kept selectable for experimentation,
+            # never the routed default (see pallas_route NOTE). Falls back
+            # to the default route when the shape is ineligible.
+            from upsnet_tpu.ops.deform_conv_pallas import deform_conv2d_pallas
+            from upsnet_tpu.ops.deform_shift_pallas import (
+                deform_conv2d_pallas_shift,
+                shift_route_ok,
+            )
+
+            if shift_route_ok(x.shape, self.features, self.max_dy,
+                              self.max_dy, self.dilation, k * k):
+                y = deform_conv2d_pallas_shift(
+                    x.astype(self.dtype), offsets, w, b,
+                    kernel_size=k, dilation=self.dilation,
+                    max_dy=self.max_dy, max_dx=self.max_dy,
+                    boundary_grad=self.boundary_grad,
+                )
+            else:
+                y = deform_conv2d_pallas(
+                    x.astype(self.dtype), offsets, w, b,
+                    kernel_size=k, dilation=self.dilation,
+                    max_dy=self.max_dy, boundary_grad=self.boundary_grad,
+                )
         elif self.impl == "mxu":
             y = deform_conv2d_mxu(
                 x.astype(self.dtype), offsets, w, b,

@@ -619,6 +619,14 @@ def pallas_route(shape, cout: int, max_dy: int, dilation: int):
     b, h, w, cin = shape
     wp_ = _round_up(w + 2, 128)
     on_tpu = jax.default_backend() in ("tpu", "axon")
+    # NOTE (round 3): a 9-tap shift-FMA kernel (deform_shift_pallas.py,
+    # opt-in via DeformConv(impl='shift') / dcn_impl='shift') was built and
+    # measured as a candidate default: at trained (constant) offsets it ties this
+    # kernel (~68 ms vs ~69 ms P2 b8 const ±2 px) because BOTH designs hit
+    # the same VMEM-traffic floor (acc read-modify-write + slab reads per
+    # live candidate), and at random offset fields its per-BLOCK a×s live-
+    # range product collapses (522 ms vs 140 ms at σ=2). It stays available
+    # and tested, but the hat-matmul kernels remain the default route.
     # NOTE: the mt (sample-first joint-K) kernel measured SLOWER than the
     # per-tap kernel at flagship shapes (117 vs 101 ms/layer b8 P2): every
     # hat-matmul formulation is bound by materializing the joint bilinear
