@@ -63,12 +63,39 @@ def main():
     model = build_model(cfg)
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1,) + bucket + (3,)))["params"]
+    # realistic |offset| ~ 1-2 px fields, same as bench.py: the deform
+    # kernels' candidate-skip makes cost offset-dependent, and zero-init
+    # offsets are the degenerate best case
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from bench import _perturb_offset_convs
+
+    params = _perturb_offset_convs(params)
     anchors = tuple(jnp.asarray(a) for a in pyramid_anchors(bucket))
     key = jax.random.PRNGKey(1)
     images = jax.random.normal(key, (b,) + bucket + (3,)) * 30.0
     im_hw = jnp.tile(jnp.asarray([[800.0, 1333.0]], jnp.float32), (b, 1))
 
-    # stage 1: extract
+    # stage 1: extract, with sub-stages (each jitted standalone)
+    bk_j = jax.jit(lambda p, im: model.apply(
+        {"params": p}, im, method=lambda m, x: m.backbone_net(x)))
+    t = timed(bk_j, params, images, perturb=1)
+    print(f"  backbone: {t*1e3:7.1f} ms")
+    cs = bk_j(params, images)
+    fpn_j = jax.jit(lambda p, c_: model.apply(
+        {"params": p}, c_, method=lambda m, c: m.fpn(c)))
+    t = timed(fpn_j, params, cs, perturb=1)
+    print(f"  fpn: {t*1e3:7.1f} ms")
+    pyr = fpn_j(params, cs)
+    rpn_j = jax.jit(lambda p, py: model.apply(
+        {"params": p}, py, method=lambda m, y: m.rpn(y)))
+    t = timed(rpn_j, params, pyr, perturb=1)
+    print(f"  rpn head: {t*1e3:7.1f} ms")
+    fcn_j = jax.jit(lambda p, py: model.apply(
+        {"params": p}, py, method=lambda m, y: m.fcn_head(y[:4])))
+    t = timed(fcn_j, params, pyr, perturb=1)
+    print(f"  fcn head (dcn x{net.fcn_num_layers}): {t*1e3:7.1f} ms")
+
     extract = jax.jit(lambda p, im: model.apply({"params": p}, im,
                                                 method="extract"))
     t = timed(extract, params, images, perturb=1)

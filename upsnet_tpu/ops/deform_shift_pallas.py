@@ -1,10 +1,18 @@
 """Shift-based deformable sampling kernels (round-3 speed-of-light rewrite).
 
+STATUS: FROZEN / EXPERIMENTAL (VERDICT r3 #8). Opt-in via
+``network.dcn_impl: shift`` only — never the routed default. Measured
+(r3, b8 P2-scale): ties the hat-matmul kernels of
+``deform_conv_pallas.py`` at trained/smooth offsets and collapses at
+random ±max_dy offset fields, so it wins nowhere the router could pick
+it. Kept because its live-(a,s)-skip VPU-FMA design is the natural next
+step if hat-matmul issue overhead ever dominates again; do not extend it
+without a routed-win benchmark.
+
 Replaces: uber-research/UPSNet ``upsnet/operators/src/deform_conv/``
-deformable_im2col fwd + the three backward CUDA kernels (SURVEY.md §2.1),
-and supersedes the hat-matmul kernels in ``deform_conv_pallas.py`` as the
-default TPU route (those remain as the fallback for shapes this kernel
-doesn't cover).
+deformable_im2col fwd + the three backward CUDA kernels (SURVEY.md §2.1)
+— as an alternative formulation to the hat-matmul kernels in
+``deform_conv_pallas.py`` (which remain the default route).
 
 Why shifts instead of hat matmuls
 ---------------------------------

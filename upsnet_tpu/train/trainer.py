@@ -138,6 +138,19 @@ def train(cfg: Config, dataset, logger=None, max_steps: int | None = None,
     it = start_iter
     t0 = time.time()
 
+    # Reconciling loop throughput with the step bench (VERDICT r3 Weak
+    # #4) needs the loop to say where its time goes: record the actual
+    # device platform once, and split each display interval into time
+    # blocked on the loader vs time in the (synchronized) train step.
+    dev0 = jax.devices()[0]
+    platform = dev0.platform
+    logger.info(
+        "devices: %d x %s (%s)", jax.device_count(), platform,
+        getattr(dev0, "device_kind", "?"),
+    )
+    loader_wait_s = 0.0
+    step_s = 0.0
+
     # DCN offset telemetry (VERDICT r2 #4): when the TRAIN impl clips
     # offsets to the +-dcn_max_dy window, probe per-layer max |offset|
     # every display interval, log it to metrics.jsonl, and act on
@@ -159,11 +172,16 @@ def train(cfg: Config, dataset, logger=None, max_steps: int | None = None,
             cfg.network.dcn_boundary_grad,
             cfg.network.dcn_saturation_action,
         )
-    for batch in loader:
-        if it >= total_steps:
+    loader_it = iter(loader)
+    while True:
+        t_wait = time.time()
+        batch = next(loader_it, None)
+        loader_wait_s += time.time() - t_wait
+        if batch is None or it >= total_steps:
             break
         bucket_key = tuple(batch["images"].shape[1:3])
         step_fn = steps_by_bucket[bucket_key]
+        t_step = time.time()
         if mesh is not None:
             batch = shard_batch(mesh, {k: v for k, v in batch.items()
                                        if k not in ("image_id", "orig_hw")})
@@ -174,16 +192,26 @@ def train(cfg: Config, dataset, logger=None, max_steps: int | None = None,
         params, opt_state, metrics = step_fn(params, opt_state, batch, sub)
         for k, v in metrics.items():
             meters.setdefault(k, AverageMeter()).update(float(v))
+        # float() above synchronized on the step's outputs, so this is
+        # the real device step time, not async dispatch time
+        step_s += time.time() - t_step
         it += 1
         if it % cfg.train.display_iter == 0:
             rate = cfg.train.display_iter * batch["images"].shape[0] / (
                 time.time() - t0
             )
             msg = " ".join(f"{k}={m.avg:.4f}" for k, m in sorted(meters.items()))
-            logger.info("iter %d (%.2f img/s): %s", it, rate, msg)
+            logger.info(
+                "iter %d (%.2f img/s; step %.2fs loader-wait %.2fs): %s",
+                it, rate, step_s, loader_wait_s, msg,
+            )
             entry = {k: m.avg for k, m in meters.items()} | {
                 "iter": it, "images_per_sec": rate,
+                "step_s": step_s, "loader_wait_s": loader_wait_s,
+                "platform": platform,
             }
+            loader_wait_s = 0.0
+            step_s = 0.0
             if watch_dcn:
                 stats = stats_from_intermediates(
                     offset_probe(params, batch["images"])

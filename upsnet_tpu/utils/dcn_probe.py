@@ -78,6 +78,26 @@ class SaturationWatch:
         self.patience = patience
         self.streak = 0
 
+    def _remedies(self) -> str:
+        """Config-aware remedy list (VERDICT r3 Weak #3): never recommend
+        the setting that is already active, and never recommend
+        'straight_through' — its two-sided escape gradient is itself a
+        divergence mechanism (the r3 rehearsal integrated it to ~1e5 px;
+        see ops/deform_conv.clip_offsets)."""
+        opts = []
+        if self.boundary_grad != "damped":
+            opts.append(
+                "set network.dcn_boundary_grad='damped' (inward-only "
+                "escape gradient through the clip)"
+            )
+        opts.append(f"raise network.dcn_max_dy (currently {self.max_dy:g})")
+        if self.impl != "gather":
+            opts.append(
+                "set network.dcn_impl_train='gather' (unbounded-exact, "
+                "slower)"
+            )
+        return "; or ".join(opts)
+
     def update(self, stats: dict) -> tuple[dict, str | None]:
         """-> (metrics-entry fields, warning message or None); raises
         RuntimeError on sustained saturation when action='fail'."""
@@ -85,18 +105,31 @@ class SaturationWatch:
             return {}, None
         max_dy = max(s["max_dy"] for s in stats.values())
         max_dx = max(s["max_dx"] for s in stats.values())
-        entry = {"dcn_max_dy": max_dy, "dcn_max_dx": max_dx}
+        # record the active impl/boundary_grad alongside the magnitudes so
+        # a metrics.jsonl stream is self-describing (VERDICT r3 #6)
+        entry = {
+            "dcn_max_dy": max_dy,
+            "dcn_max_dx": max_dx,
+            "dcn_impl": self.impl,
+            "dcn_boundary_grad": self.boundary_grad,
+        }
         self.streak = self.streak + 1 if max_dy > self.limit else 0
         if self.streak < self.patience:
             return entry, None
+        cause = (
+            " boundary_grad='straight_through' is the LIKELY CAUSE: its "
+            "outward gradient component is fabricated (the clipped forward "
+            "is constant beyond the window) and integrates without a "
+            "restoring force — switch to 'damped'."
+            if self.boundary_grad == "straight_through"
+            else ""
+        )
         desc = (
             f"DCN offsets saturating the train window: max |dy| = "
             f"{max_dy:.2f} > {self.limit / self.max_dy:.1f} * {self.max_dy:g} "
             f"for {self.streak} consecutive display intervals (impl "
             f"'{self.impl}' clips with boundary_grad="
-            f"'{self.boundary_grad}'). Raise network.dcn_max_dy, set "
-            "dcn_impl_train='gather', or dcn_boundary_grad="
-            "'straight_through'."
+            f"'{self.boundary_grad}').{cause} Remedies: {self._remedies()}."
         )
         if self.action == "fail":
             raise RuntimeError(desc)
