@@ -65,6 +65,9 @@ def main():
                     help="dcn_impl_train override (bench.py uses 'pallas')")
     ap.add_argument("--perturb-offsets", action="store_true",
                     help="bias offset convs to bench.py's +-2px magnitudes")
+    ap.add_argument("--max-gt", type=int, default=20,
+                    help="max_gt_instances pad (flagship default is 100; "
+                         "the teacher-forced panoptic branch scales with it)")
     ap.add_argument("--only-stage", default=None,
                     help="run ONE stage ablation: extract | -pan | -fcn "
                          "(keeps each invocation under the relay timeout)")
@@ -219,7 +222,7 @@ def _full_step(args, jax, jnp):
             cfg.network, dcn_impl_train=args.impl_train))
     cfg = cfg.replace(train=dataclasses.replace(
         cfg.train, remat=args.remat, batch_size=args.batch,
-        max_gt_instances=20))
+        max_gt_instances=args.max_gt))
     bucket = tuple(cfg.train.image_buckets[0])
     model = build_model(cfg)
     impl_train = cfg.network.dcn_impl_train or cfg.network.dcn_impl
