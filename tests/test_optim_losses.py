@@ -56,6 +56,37 @@ def test_optimizer_freezes_and_bias_rules():
     )
 
 
+def test_optimizer_offset_lr_mult():
+    """DCN offset convs form their own param group (VERDICT r3 #1a): both
+    kernel AND bias scale with train.dcn_offset_lr_mult (no 2x-bias rule —
+    that would amplify the from-scratch offset runaway), and the kernel
+    keeps weight decay (the restoring force toward zero offsets)."""
+    cfg = default_config()
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, dcn_offset_lr_mult=0.1, grad_clip=0.0))
+    params = {
+        "fcn_head": {
+            "dcn1": {"offset_conv": {"kernel": jnp.ones((3, 3, 8, 18)),
+                                     "bias": jnp.zeros(18)},
+                     "conv": {"kernel": jnp.ones((3, 3, 8, 8)),
+                              "bias": jnp.zeros(8)}},
+        },
+    }
+    tx = make_optimizer(cfg, params)
+    updates, _ = tx.update(
+        jax.tree.map(jnp.ones_like, params), tx.init(params), params)
+    lr0 = float(lr_schedule(cfg)(0))
+    off = updates["fcn_head"]["dcn1"]["offset_conv"]
+    np.testing.assert_allclose(
+        float(-off["kernel"][0, 0, 0, 0]), 0.1 * lr0 * (1 + cfg.train.wd),
+        rtol=1e-4)
+    np.testing.assert_allclose(float(-off["bias"][0]), 0.1 * lr0, rtol=1e-4)
+    # sibling plain conv unaffected
+    np.testing.assert_allclose(
+        float(-updates["fcn_head"]["dcn1"]["conv"]["bias"][0]), 2 * lr0,
+        rtol=1e-4)
+
+
 def test_smooth_l1_regions():
     p = jnp.asarray([0.0, 0.05, 2.0])
     t = jnp.zeros(3)

@@ -158,6 +158,13 @@ class TrainConfig:
     # clipping but always from pretrained weights; random-init runs (tests,
     # synthetic overfits) diverge without it.
     grad_clip: float = 35.0
+    # LR multiplier for DCN offset convs (params under '.../offset_conv').
+    # The reference trains offsets at base LR from zero-init on pretrained
+    # backbones and they stay O(1 px) (SURVEY.md §2.1); from-scratch runs
+    # (random features -> noisy offset gradients) integrate them to tens
+    # of px in tens of iters (the r3/r4 rehearsal telemetry), so
+    # from-scratch recipes set this < 1. 1.0 = reference parity.
+    dcn_offset_lr_mult: float = 1.0
     warmup_iteration: int = 500
     warmup_factor: float = 1.0 / 3.0
     max_iteration: int = 90000
