@@ -98,8 +98,13 @@ def postprocess_image(cfg: Config, dataset, out_i: dict, meta: dict):
         detections.append(det)
 
     # semantic prediction: argmax at 1/4 canvas scale -> crop -> orig size
-    seg_logits = np.asarray(out_i["seg_logits"])
-    seg_pred_q = seg_logits.argmax(-1)[: max(rh // 4, 1), : max(rw // 4, 1)]
+    # (argmax happens on-device when the predict step was built with
+    # seg_argmax=True; the full logits only cross for TTA)
+    if "seg_pred_q" in out_i:
+        seg_pred_q = np.asarray(out_i["seg_pred_q"])
+    else:
+        seg_pred_q = np.asarray(out_i["seg_logits"]).argmax(-1)
+    seg_pred_q = seg_pred_q[: max(rh // 4, 1), : max(rw // 4, 1)]
     seg_pred = cv2.resize(
         seg_pred_q.astype(np.int32), (ow, oh), interpolation=cv2.INTER_NEAREST
     )
@@ -168,7 +173,7 @@ def run_evaluation(cfg: Config, dataset, weights=None, logger=None,
     from upsnet_tpu.parallel.steps import make_predict_step
 
     predict_by_bucket = {
-        b: make_predict_step(model, cfg, anc, mesh)
+        b: make_predict_step(model, cfg, anc, mesh, seg_argmax=not use_tta)
         for b, anc in anchors_by_bucket.items()
     }
 
@@ -220,8 +225,15 @@ def run_evaluation(cfg: Config, dataset, weights=None, logger=None,
         # pad the final partial group by repeating the last sample; padded
         # lanes are computed and discarded (static shapes, no recompile)
         padded = group + [group[-1]] * (n_dev - k)
+        imgs = np.stack([g["images"] for g in padded])
+        if cfg.network.compute_dtype == "bfloat16":
+            # bit-identical downstream (stem casts to bf16 anyway,
+            # data/wire.py) at half the host->device bytes
+            import ml_dtypes
+
+            imgs = imgs.astype(ml_dtypes.bfloat16)
         batch = {
-            "images": jnp.asarray(np.stack([g["images"] for g in padded])),
+            "images": jnp.asarray(imgs),
             "im_hw": jnp.asarray(np.stack([g["im_hw"] for g in padded])),
         }
         if mesh is not None:

@@ -9,6 +9,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from upsnet_tpu.config.defaults import Config
+from upsnet_tpu.data.wire import decode_batch
 from upsnet_tpu.models.upsnet import forward_predict, forward_train
 
 
@@ -31,6 +32,12 @@ def make_train_step(model, cfg: Config, anchors, optimizer, mesh: Mesh | None = 
         model = model.clone(dcn_impl=impl_train)
 
     def step_fn(params, opt_state, batch, key):
+        # wire-format batches (bit-packed masks, uint8 labels, bf16
+        # images — data/wire.py) decode inside the program: VPU work
+        # fused by XLA, not a second host round-trip. Raw batches pass
+        # through unchanged.
+        batch = decode_batch(batch)
+
         def loss_fn(p):
             total, losses = forward_train(model, p, cfg, anchors, batch, key)
             return total, losses
@@ -54,9 +61,22 @@ def make_train_step(model, cfg: Config, anchors, optimizer, mesh: Mesh | None = 
     )
 
 
-def make_predict_step(model, cfg: Config, anchors, mesh: Mesh | None = None):
+def make_predict_step(model, cfg: Config, anchors, mesh: Mesh | None = None,
+                      seg_argmax: bool = False):
+    """seg_argmax: replace the (B, H/4, W/4, C) f32 semantic logits in the
+    output with their uint8 argmax, computed on-device. The eval loop only
+    ever argmaxes them (evaluation/inference.py postprocess_image), and on
+    a remote TPU front-end the logits dominate the device->host fetch
+    (~37 MB/image at 133 COCO classes vs 70 KB for the argmax). TTA keeps
+    the full logits — its multi-scale evidence merge averages them."""
+
     def step_fn(params, batch):
-        return forward_predict(model, params, cfg, anchors, batch)
+        out = forward_predict(model, params, cfg, anchors,
+                              decode_batch(batch))
+        if seg_argmax:
+            out["seg_pred_q"] = jnp.argmax(
+                out.pop("seg_logits"), axis=-1).astype(jnp.uint8)
+        return out
 
     if mesh is None:
         return jax.jit(step_fn)

@@ -172,7 +172,22 @@ def train(cfg: Config, dataset, logger=None, max_steps: int | None = None,
             cfg.network.dcn_boundary_grad,
             cfg.network.dcn_saturation_action,
         )
-    loader_it = iter(loader)
+    # The raw f32 flagship batch is ~165 MB; copied synchronously between
+    # steps it cost the r4 rehearsal ~6 s/step (7.36 s/step loop vs a
+    # 1.27 s jitted step). Encode to the compact wire format and issue
+    # the device copy on a background thread two batches ahead
+    # (data/wire.py) so the copy overlaps the previous device step; the
+    # jitted step decodes in-program.
+    from upsnet_tpu.data.wire import STEP_KEYS, DevicePrefetcher, encode_batch
+
+    def _put(b):
+        b = encode_batch({k: v for k, v in b.items() if k in STEP_KEYS},
+                         cfg.network.compute_dtype)
+        if mesh is not None:
+            return shard_batch(mesh, b)
+        return {k: jax.device_put(v) for k, v in b.items()}
+
+    loader_it = DevicePrefetcher(iter(loader), _put)
     while True:
         t_wait = time.time()
         batch = next(loader_it, None)
@@ -182,17 +197,12 @@ def train(cfg: Config, dataset, logger=None, max_steps: int | None = None,
         bucket_key = tuple(batch["images"].shape[1:3])
         step_fn = steps_by_bucket[bucket_key]
         t_step = time.time()
-        if mesh is not None:
-            batch = shard_batch(mesh, {k: v for k, v in batch.items()
-                                       if k not in ("image_id", "orig_hw")})
-        else:
-            batch = {k: jnp.asarray(v) for k, v in batch.items()
-                     if k not in ("image_id", "orig_hw")}
         key, sub = jax.random.split(key)
         params, opt_state, metrics = step_fn(params, opt_state, batch, sub)
+        metrics = jax.device_get(metrics)  # one transfer, not one per term
         for k, v in metrics.items():
             meters.setdefault(k, AverageMeter()).update(float(v))
-        # float() above synchronized on the step's outputs, so this is
+        # device_get above synchronized on the step's outputs, so this is
         # the real device step time, not async dispatch time
         step_s += time.time() - t_step
         it += 1
