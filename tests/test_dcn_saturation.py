@@ -285,6 +285,59 @@ def test_saturation_watch_warn_mode_and_empty_stats():
     assert w3 is None
 
 
+def test_saturation_watch_rate_based_when_sat_frac_present():
+    """With a saturation rate in the stats, the tripwire is the RATE, not
+    the max: a healthy far-reaching tail (max near/over the window but
+    <<rate of the field at the edge — the r4 rehearsal regime) must NOT
+    trip; a pinned field (rate > 5%) must; and a raw-divergence max
+    (> 3x window) trips even at low rate."""
+    healthy_tail = {"l": {"max_dy": 7.3, "max_dx": 8.2, "sat_frac": 0.002}}
+    pinned = {"l": {"max_dy": 5.9, "max_dx": 5.9, "sat_frac": 0.30}}
+    runaway = {"l": {"max_dy": 120.0, "max_dx": 80.0, "sat_frac": 0.004}}
+
+    w = SaturationWatch(6, "pallas", "damped", action="fail", patience=2)
+    for _ in range(5):
+        fields, warning = w.update(healthy_tail)
+        assert warning is None
+        assert fields["dcn_sat_frac"] == pytest.approx(0.002)
+
+    w = SaturationWatch(6, "pallas", "damped", action="fail", patience=2)
+    _, warning = w.update(pinned)
+    assert warning is None  # patience not yet reached
+    with pytest.raises(RuntimeError, match="% of offsets"):
+        w.update(pinned)
+
+    w = SaturationWatch(6, "pallas", "damped", action="warn", patience=1)
+    _, warning = w.update(runaway)
+    assert warning is not None and "max |dy| 120.00" in warning
+
+
+def test_deform_conv_module_sows_sat_frac(rng):
+    """The DeformConv sow carries [max|dy|, max|dx|, sat rate] and the
+    probe walk surfaces all three (models/layers.py + dcn_probe._walk)."""
+    import flax.linen as nn
+
+    from upsnet_tpu.models.layers import DeformConv
+    from upsnet_tpu.utils.dcn_probe import stats_from_intermediates
+
+    m = DeformConv(features=8, impl="gather", max_dy=6)
+    x = jnp.asarray(rng.randn(1, 8, 8, 4).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    # push the offset conv bias so offsets are uniform ~5.9 px (at >= 90%
+    # of the window): rate must be 1.0 and the maxima ~5.9
+    params = dict(params)
+    params["offset_conv"] = dict(
+        params["offset_conv"],
+        bias=jnp.full_like(params["offset_conv"]["bias"], 5.9),
+    )
+    _, mut = m.apply({"params": params}, x, mutable=["intermediates"])
+    stats = stats_from_intermediates(mut)
+    (layer_stats,) = stats.values()
+    assert layer_stats["max_dy"] == pytest.approx(5.9, abs=1e-4)
+    assert layer_stats["max_dx"] == pytest.approx(5.9, abs=1e-4)
+    assert layer_stats["sat_frac"] == pytest.approx(1.0)
+
+
 def test_saturation_watch_remedies_are_config_aware():
     """The remedy list must never recommend the active setting and must
     name straight_through as the likely cause when it is active

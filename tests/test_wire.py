@@ -70,6 +70,33 @@ def test_images_bf16_equals_device_cast():
         np.float32)
 
 
+def test_images_uint8_wire():
+    """uint8 image wire: integral pixels (resize scale 1.0) round-trip
+    exactly; fractional ones land within 0.5 pixel; padding zeros decode
+    to round(mean) - mean (arbitrary-pad territory, documented)."""
+    from upsnet_tpu.data.transforms import PIXEL_MEANS_BGR
+
+    rng = np.random.RandomState(0)
+    pix = rng.randint(0, 256, (2, 8, 8, 3)).astype(np.float32)
+    normed = pix - PIXEL_MEANS_BGR
+    enc = encode_batch({"images": normed}, image_wire="uint8")
+    assert enc["images"].dtype == np.uint8
+    dec = jax.jit(decode_batch)({k: jnp.asarray(v) for k, v in enc.items()})
+    assert dec["images"].dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(dec["images"]), normed, atol=1e-4)
+
+    frac = normed + rng.uniform(-0.49, 0.49, normed.shape).astype(np.float32)
+    dec2 = decode_batch(
+        {k: jnp.asarray(v)
+         for k, v in encode_batch({"images": frac},
+                                  image_wire="uint8").items()})
+    assert np.max(np.abs(np.asarray(dec2["images"]) - frac)) <= 0.5 + 1e-4
+
+    pad = np.zeros((1, 4, 4, 3), np.float32)
+    dec3 = decode_batch(encode_batch({"images": pad}, image_wire="uint8"))
+    assert np.max(np.abs(np.asarray(dec3["images"]))) <= 0.5
+
+
 def test_train_step_wire_equivalence():
     """One full train step from a raw batch == from its wire encoding.
 

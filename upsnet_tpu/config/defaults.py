@@ -192,6 +192,13 @@ class TrainConfig:
     # SURVEY.md §3.1). 0 = single prefetch thread; >0 = forked sample
     # builders with shared-memory transport (data/pipeline.ProcessLoader).
     num_workers: int = 4
+    # host->device image encoding for the trainer loop (data/wire.py):
+    # 'uint8' (default) ships the resized image as ordinary 8-bit pixels
+    # and mean-subtracts on device — halves the dominant wire term on a
+    # relay front-end where copies serialize with compute; |err| <= 0.5
+    # of a 0..255 pixel from rounding the bilinear resize. 'bf16' is the
+    # bit-exact encoding (equals casting in the stem).
+    image_wire: str = "uint8"
 
 
 @dataclass

@@ -141,7 +141,8 @@ def train(cfg: Config, dataset, logger=None, max_steps: int | None = None,
     # Reconciling loop throughput with the step bench (VERDICT r3 Weak
     # #4) needs the loop to say where its time goes: record the actual
     # device platform once, and split each display interval into time
-    # blocked on the loader vs time in the (synchronized) train step.
+    # blocked on the loader vs device step time (interval wall minus
+    # loader wait; the interval-end metrics fetch is the only sync).
     dev0 = jax.devices()[0]
     platform = dev0.platform
     logger.info(
@@ -182,12 +183,22 @@ def train(cfg: Config, dataset, logger=None, max_steps: int | None = None,
 
     def _put(b):
         b = encode_batch({k: v for k, v in b.items() if k in STEP_KEYS},
-                         cfg.network.compute_dtype)
+                         cfg.network.compute_dtype,
+                         image_wire=cfg.train.image_wire)
         if mesh is not None:
             return shard_batch(mesh, b)
         return {k: jax.device_put(v) for k, v in b.items()}
 
     loader_it = DevicePrefetcher(iter(loader), _put)
+    # The loop never synchronizes inside a display interval: steps are
+    # dispatched back-to-back (JAX async dispatch) with per-step metric
+    # scalars held as device arrays and fetched once per interval, and
+    # per-step PRNG keys pre-split once per interval (one dispatch per
+    # display_iter, not two per step). On a relay front-end every host
+    # round-trip costs ~30 ms; a per-step device_get also stalls the
+    # pipeline the way the reference's CUDA streams never do.
+    pending: list = []
+    keys = iter(())
     while True:
         t_wait = time.time()
         batch = next(loader_it, None)
@@ -196,17 +207,24 @@ def train(cfg: Config, dataset, logger=None, max_steps: int | None = None,
             break
         bucket_key = tuple(batch["images"].shape[1:3])
         step_fn = steps_by_bucket[bucket_key]
-        t_step = time.time()
-        key, sub = jax.random.split(key)
+        sub = next(keys, None)
+        if sub is None:
+            key, *interval = jax.random.split(
+                key, cfg.train.display_iter + 1)
+            keys = iter(interval)
+            sub = next(keys)
         params, opt_state, metrics = step_fn(params, opt_state, batch, sub)
-        metrics = jax.device_get(metrics)  # one transfer, not one per term
-        for k, v in metrics.items():
-            meters.setdefault(k, AverageMeter()).update(float(v))
-        # device_get above synchronized on the step's outputs, so this is
-        # the real device step time, not async dispatch time
-        step_s += time.time() - t_step
+        pending.append(metrics)
         it += 1
         if it % cfg.train.display_iter == 0:
+            # one sync + transfer for the whole interval
+            for m in jax.device_get(pending):
+                for k, v in m.items():
+                    meters.setdefault(k, AverageMeter()).update(float(v))
+            pending.clear()
+            # the device_get above synchronized the whole interval, so
+            # wall - loader_wait is device step time (+ dispatch, ~ms)
+            step_s = (time.time() - t0) - loader_wait_s
             rate = cfg.train.display_iter * batch["images"].shape[0] / (
                 time.time() - t0
             )
@@ -223,8 +241,13 @@ def train(cfg: Config, dataset, logger=None, max_steps: int | None = None,
             loader_wait_s = 0.0
             step_s = 0.0
             if watch_dcn:
+                from upsnet_tpu.data.wire import decode_batch
+
                 stats = stats_from_intermediates(
-                    offset_probe(params, batch["images"])
+                    offset_probe(
+                        params,
+                        decode_batch({"images": batch["images"]})["images"],
+                    )
                 )
                 fields, warning = sat_watch.update(stats)
                 entry.update(fields)

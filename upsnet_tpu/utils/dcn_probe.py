@@ -22,12 +22,15 @@ def _walk(tree, prefix, out):
     if isinstance(tree, dict):
         for k, v in tree.items():
             if k == "offset_max":
-                # sow default reduce: tuple of (2,) arrays, one per call
+                # sow default reduce: tuple of (3,) arrays, one per call:
+                # [max |dy|, max |dx|, saturation rate] (models/layers.py)
                 vals = np.stack([np.asarray(t) for t in v])
                 out[prefix] = {
                     "max_dy": float(vals[:, 0].max()),
                     "max_dx": float(vals[:, 1].max()),
                 }
+                if vals.shape[1] > 2:
+                    out[prefix]["sat_frac"] = float(vals[:, 2].max())
             else:
                 _walk(v, f"{prefix}/{k}" if prefix else k, out)
 
@@ -58,23 +61,35 @@ def make_offset_probe(model):
 class SaturationWatch:
     """Sustained-saturation detector for the windowed DCN train impls.
 
-    Feed it the per-layer offset stats every display interval; when
-    max |dy| stays above ``frac * max_dy`` for ``patience`` consecutive
-    updates it raises (action='fail') or returns a warning message
+    Feed it the per-layer offset stats every display interval. An
+    interval counts as saturated when any layer's saturation RATE (the
+    fraction of offset components at >= 90% of the window,
+    models/layers.py sow) exceeds ``rate``, or when the raw offset
+    maximum exceeds ``hard_mult * max_dy`` (raw divergence, the r3
+    ~1e5 px runaway class). Stats without a rate (older probes, unit
+    fixtures) fall back to the max-based tripwire at ``frac * max_dy``
+    — a twitchy statistic over ~half a million offsets, which is why
+    the rate exists: the r4 rehearsal's healthy O(5-8 px) tail would
+    trip a max-based detector while <<1% of the field touches the
+    window. After ``patience`` consecutive saturated intervals the
+    watch raises (action='fail') or returns a warning message
     (action='warn'). Gradient beyond the window is zero under
-    boundary_grad='clip', so saturation is invisible in the loss curve —
-    this is the loud failure VERDICT r2 #4 asks for. Unit-tested in
+    boundary_grad='clip', so saturation is invisible in the loss curve
+    — this is the loud failure VERDICT r2 #4 asks for. Unit-tested in
     tests/test_dcn_saturation.py; driven by train/trainer.py.
     """
 
     def __init__(self, max_dy: float, impl: str, boundary_grad: str,
                  action: str = "fail", frac: float = 0.9,
-                 patience: int = 3):
+                 patience: int = 3, rate: float = 0.05,
+                 hard_mult: float = 3.0):
         self.max_dy = float(max_dy)
         self.impl = impl
         self.boundary_grad = boundary_grad
         self.action = action
         self.limit = frac * float(max_dy)
+        self.rate = rate
+        self.hard_limit = hard_mult * float(max_dy)
         self.patience = patience
         self.streak = 0
 
@@ -105,6 +120,7 @@ class SaturationWatch:
             return {}, None
         max_dy = max(s["max_dy"] for s in stats.values())
         max_dx = max(s["max_dx"] for s in stats.values())
+        fracs = [s["sat_frac"] for s in stats.values() if "sat_frac" in s]
         # record the active impl/boundary_grad alongside the magnitudes so
         # a metrics.jsonl stream is self-describing (VERDICT r3 #6)
         entry = {
@@ -113,7 +129,14 @@ class SaturationWatch:
             "dcn_impl": self.impl,
             "dcn_boundary_grad": self.boundary_grad,
         }
-        self.streak = self.streak + 1 if max_dy > self.limit else 0
+        worst = max(max_dy, max_dx)
+        if fracs:
+            entry["dcn_sat_frac"] = max(fracs)
+            saturated = (entry["dcn_sat_frac"] > self.rate
+                         or worst > self.hard_limit)
+        else:  # rate-less stats (older probes / unit fixtures)
+            saturated = worst > self.limit
+        self.streak = self.streak + 1 if saturated else 0
         if self.streak < self.patience:
             return entry, None
         cause = (
@@ -124,9 +147,20 @@ class SaturationWatch:
             if self.boundary_grad == "straight_through"
             else ""
         )
+        if fracs:
+            what = (
+                f"{100 * entry['dcn_sat_frac']:.1f}% of offsets at >= 90% "
+                f"of the +-{self.max_dy:g} window (max |dy| {max_dy:.2f}, "
+                f"|dx| {max_dx:.2f}; trip: rate > {100 * self.rate:g}% or "
+                f"max > {self.hard_limit:g})"
+            )
+        else:
+            what = (
+                f"max |dy| = {max_dy:.2f} > "
+                f"{self.limit / self.max_dy:.1f} * {self.max_dy:g}"
+            )
         desc = (
-            f"DCN offsets saturating the train window: max |dy| = "
-            f"{max_dy:.2f} > {self.limit / self.max_dy:.1f} * {self.max_dy:g} "
+            f"DCN offsets saturating the train window: {what} "
             f"for {self.streak} consecutive display intervals (impl "
             f"'{self.impl}' clips with boundary_grad="
             f"'{self.boundary_grad}').{cause} Remedies: {self._remedies()}."
