@@ -73,11 +73,22 @@ def _fold_once(model, params, x, FrozenBatchNorm):
         s, b = leaf["scale"], leaf["bias"]
         axes = tuple(range(out.ndim - 1))
         mu = jnp.mean(out.astype(jnp.float32), axis=axes)
-        sd = jnp.std(out.astype(jnp.float32), axis=axes) + 1e-4
-        leaf["scale"] = (s / sd).astype(s.dtype)
-        leaf["bias"] = ((b - mu) / sd).astype(b.dtype)
-        worst_mu = max(worst_mu, float(jnp.max(jnp.abs(mu))))
-        worst_sd = max(worst_sd, float(jnp.max(jnp.abs(sd - 1.0))))
+        sd = jnp.std(out.astype(jnp.float32), axis=axes)
+        # Refold only channels with healthy variance: a dead channel
+        # (constant under the calibration batch, sd ~ 0 — upstream ReLU
+        # kills some channels at random init) must keep its affine, or
+        # the 1/sd refold amplifies numerical noise by ~1e4 and the next
+        # pass cascades to inf (the r4 divergence at pass 3). Dead
+        # channels also don't gate convergence — they carry no signal.
+        live = sd > 5e-2
+        sd_safe = jnp.where(live, sd, 1.0)
+        leaf["scale"] = jnp.where(live, s / sd_safe, s).astype(s.dtype)
+        leaf["bias"] = jnp.where(
+            live, (b - mu) / sd_safe, b).astype(b.dtype)
+        worst_mu = max(worst_mu, float(jnp.max(jnp.abs(
+            jnp.where(live, mu, 0.0)))))
+        worst_sd = max(worst_sd, float(jnp.max(jnp.abs(
+            jnp.where(live, sd, 1.0) - 1.0))))
     return new, worst_mu, worst_sd
 
 
