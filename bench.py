@@ -78,17 +78,36 @@ def main():
     out = predict(params, images, im_hw)
     _ = np.asarray(out["boxes"][0, 0])
 
-    iters = 5
-    times = []
-    for i in range(iters):
+    # single-batch latency: one synced call, min of 3
+    lat_times = []
+    for i in range(3):
         im_i = images + (i + 1) * 0.01
         _ = np.asarray(im_i[0, 0, 0, 0])
         t0 = time.perf_counter()
         out = predict(params, im_i, im_hw)
         _ = np.asarray(out["boxes"][0, 0])
         _ = np.asarray(out["pan_map"][0, 0, 0])
-        times.append(time.perf_counter() - t0)
-    ips = batch_size / min(times)
+        lat_times.append(time.perf_counter() - t0)
+    latency_ms = 1e3 * min(lat_times)
+
+    # steady-state throughput (the serving construct): issue every batch
+    # back-to-back — JAX async dispatch overlaps the relay's per-call host
+    # work (~29 ms dispatch + result RTTs) with device compute — then
+    # materialize every output. Inputs are distinct per call (staged on
+    # device before the clock starts) so nothing can be memoized; the
+    # wall covers first dispatch to last fetch.
+    iters = 8
+    staged = []
+    for i in range(iters):
+        im_i = images + (i + 1) * 0.01
+        _ = np.asarray(im_i[0, 0, 0, 0])
+        staged.append(im_i)
+    t0 = time.perf_counter()
+    outs = [predict(params, im_i, im_hw) for im_i in staged]
+    for o in outs:
+        _ = np.asarray(o["boxes"][0, 0])
+        _ = np.asarray(o["pan_map"][0, 0, 0])
+    ips = batch_size * iters / (time.perf_counter() - t0)
 
     train_ips = _bench_train(cfg, model, params, anchors, bucket, batch_size)
 
@@ -97,6 +116,7 @@ def main():
         "value": round(ips, 3),
         "unit": "images/sec",
         "vs_baseline": round(ips / BASELINE_IMAGES_PER_SEC, 3),
+        "batch_latency_ms": round(latency_ms, 1),
     }
     if train_ips is not None:
         record["train_images_per_sec"] = round(train_ips, 3)
@@ -169,17 +189,25 @@ def _bench_train(cfg, model, params, anchors, bucket, batch_size):
         # warmup/compile (params are donated: chain the returned state)
         params, opt_state, metrics = step(params, opt_state, batch, key)
         _ = float(np.asarray(metrics["total"]))
-        times = []
-        for i in range(4):
+        # steady-state throughput, same construct as the trainer loop:
+        # distinct pre-staged batches, steps issued back-to-back chaining
+        # the donated state — async dispatch overlaps the relay's
+        # per-call host work with device compute; sync once at the end.
+        iters = 4
+        staged = []
+        for i in range(iters):
             b_i = dict(batch, images=batch["images"] + np.float32(1e-3 * (i + 1)))
             _ = np.asarray(b_i["images"][0, 0, 0, 0])
-            t0 = time.perf_counter()
+            staged.append(b_i)
+        totals = []
+        t0 = time.perf_counter()
+        for i, b_i in enumerate(staged):
             params, opt_state, metrics = step(
                 params, opt_state, b_i, jax.random.PRNGKey(i + 1)
             )
-            _ = float(np.asarray(metrics["total"]))
-            times.append(time.perf_counter() - t0)
-        return batch_size / min(times)
+            totals.append(metrics["total"])
+        _ = [float(np.asarray(t)) for t in totals]
+        return batch_size * iters / (time.perf_counter() - t0)
     except Exception:
         import sys
         import traceback
