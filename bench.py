@@ -109,6 +109,11 @@ def main():
         _ = np.asarray(o["pan_map"][0, 0, 0])
     ips = batch_size * iters / (time.perf_counter() - t0)
 
+    # free the inference staging before the train bench: 8 staged f32
+    # image batches (~860 MB) + 8 result pytrees held live alongside the
+    # train step's remat peak was the r4 RESOURCE_EXHAUSTED (VERDICT r4
+    # next #2) — the trainer never holds more than prefetch-depth batches
+    del outs, staged, out, images
     train_ips = _bench_train(cfg, model, params, anchors, bucket, batch_size)
 
     record = {
@@ -174,29 +179,42 @@ def _bench_train(cfg, model, params, anchors, bucket, batch_size):
         from upsnet_tpu.parallel.steps import make_train_step
         from upsnet_tpu.train.optimizer import make_optimizer
 
+        from upsnet_tpu.data.wire import encode_batch
+
         ds = SyntheticDataset(cfg, num_images=batch_size, image_hw=bucket,
                               training=True)
         batch = collate([ds.sample(i, np.random.RandomState(i))
                          for i in range(batch_size)])
         keep = ("images", "im_hw", "gt_boxes", "gt_classes", "gt_valid",
                 "gt_masks", "seg_gt", "crowd_boxes", "crowd_valid")
-        batch = {k: jnp.asarray(v) for k, v in batch.items() if k in keep}
+        batch = {k: np.asarray(v) for k, v in batch.items() if k in keep}
         optimizer = make_optimizer(cfg, params)
         opt_state = optimizer.init(params)
         step = make_train_step(model, cfg, anchors, optimizer)
 
+        def put(b):
+            """Stage exactly what the trainer ships: the compact wire
+            encoding (uint8 images + bit-packed masks, ~35 MB vs ~165 MB
+            raw f32 — the flagship yamls' image_wire) so staged batches
+            cannot crowd the train step's remat peak out of HBM."""
+            enc = encode_batch(dict(b), cfg.network.compute_dtype,
+                               image_wire="uint8")
+            return {k: jnp.asarray(v) for k, v in enc.items()}
+
         key = jax.random.PRNGKey(0)
         # warmup/compile (params are donated: chain the returned state)
-        params, opt_state, metrics = step(params, opt_state, batch, key)
+        params, opt_state, metrics = step(params, opt_state, put(batch), key)
         _ = float(np.asarray(metrics["total"]))
         # steady-state throughput, same construct as the trainer loop:
-        # distinct pre-staged batches, steps issued back-to-back chaining
-        # the donated state — async dispatch overlaps the relay's
+        # distinct pre-staged wire batches, steps issued back-to-back
+        # chaining the donated state — async dispatch overlaps the relay's
         # per-call host work with device compute; sync once at the end.
         iters = 4
         staged = []
         for i in range(iters):
-            b_i = dict(batch, images=batch["images"] + np.float32(1e-3 * (i + 1)))
+            # integral perturbation: it must survive the uint8 wire's
+            # rint() so no two staged batches are byte-identical
+            b_i = put(dict(batch, images=batch["images"] + np.float32(i + 1)))
             _ = np.asarray(b_i["images"][0, 0, 0, 0])
             staged.append(b_i)
         totals = []

@@ -163,7 +163,11 @@ class TrainConfig:
     # backbones and they stay O(1 px) (SURVEY.md §2.1); from-scratch runs
     # (random features -> noisy offset gradients) integrate them to tens
     # of px in tens of iters (the r3/r4 rehearsal telemetry), so
-    # from-scratch recipes set this < 1. 1.0 = reference parity.
+    # from-scratch recipes set this < 1. At 1.0 the offset WEIGHTS match
+    # the reference LR exactly; the offset BIAS intentionally differs
+    # from the Detectron bias rule (damped 1x instead of 2x — 2x on the
+    # zero-init bias amplifies the runaway this multiplier exists to
+    # damp; it does follow the no-weight-decay bias rule).
     dcn_offset_lr_mult: float = 1.0
     warmup_iteration: int = 500
     warmup_factor: float = 1.0 / 3.0
@@ -192,13 +196,25 @@ class TrainConfig:
     # SURVEY.md §3.1). 0 = single prefetch thread; >0 = forked sample
     # builders with shared-memory transport (data/pipeline.ProcessLoader).
     num_workers: int = 4
+    # Built-sample cache budget (MB, 0 = off): caches the deterministic
+    # (index, scale, flip) -> sample build in RAM. The win is on small
+    # datasets looped for many epochs (the rehearsal/overfit configs) on
+    # CPU-starved hosts — after the variants are seen once the loader is
+    # a dict lookup instead of ~200 ms of decode+rasterize+resize per
+    # sample (data/base.py). Useless for single-pass eval or COCO-scale
+    # train sets; leave 0 there.
+    sample_cache_mb: int = 0
     # host->device image encoding for the trainer loop (data/wire.py):
-    # 'uint8' (default) ships the resized image as ordinary 8-bit pixels
-    # and mean-subtracts on device — halves the dominant wire term on a
-    # relay front-end where copies serialize with compute; |err| <= 0.5
-    # of a 0..255 pixel from rounding the bilinear resize. 'bf16' is the
-    # bit-exact encoding (equals casting in the stem).
-    image_wire: str = "uint8"
+    # 'bf16' (default) is the bit-exact encoding — numerically identical
+    # to the stem's astype(compute_dtype) cast, so the default pipeline
+    # deviates from exact-float inputs by nothing (ADVICE r4). 'uint8'
+    # ships the resized image as ordinary 8-bit pixels and mean-subtracts
+    # on device — halves the dominant wire term on a relay front-end
+    # where copies serialize with compute (|err| <= 0.5 of a 0..255 pixel
+    # from rounding the bilinear resize); the rehearsal yamls opt in
+    # where that copy was the measured bottleneck. The trainer logs the
+    # active encoding at start.
+    image_wire: str = "bf16"
 
 
 @dataclass

@@ -126,18 +126,47 @@ class DevicePrefetcher:
 
     def __init__(self, it, put, depth: int = 2):
         self._q: queue.Queue = queue.Queue(maxsize=max(1, depth))
+        self._stop = threading.Event()
         self._thread = threading.Thread(
             target=self._run, args=(it, put), daemon=True)
         self._thread.start()
 
+    def _put_or_stop(self, item) -> bool:
+        """Enqueue, but wake up if close() is called while the queue is
+        full (the consumer exited early and will never drain us)."""
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _run(self, it, put):
         try:
             for item in it:
-                self._q.put(put(item))
+                if self._stop.is_set():
+                    return
+                if not self._put_or_stop(put(item)):
+                    return
         except BaseException as e:  # noqa: BLE001 - propagate to consumer
-            self._q.put(e)
+            self._put_or_stop(e)
             return
-        self._q.put(self._DONE)
+        self._put_or_stop(self._DONE)
+
+    def close(self):
+        """Stop the producer thread and release its staged device batches.
+        Without this, a consumer that exits early (max_steps break, the
+        saturation watch raising) leaves the daemon thread blocked on
+        q.put holding encoded batches — and the loader's forked worker
+        processes pinned — for the life of the process (ADVICE r4)."""
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=10.0)
 
     def __iter__(self):
         return self

@@ -80,9 +80,23 @@ def restore_checkpoint(path: str, template, partial: bool = False):
     """
     path = os.path.abspath(path)
     if partial:
-        # template-free read (returns the full saved tree as host arrays);
-        # callers slice out the subtree they need (e.g. just params)
-        full = ocp.PyTreeCheckpointer().restore(path)
+        # Template-free read as HOST NUMPY arrays; callers slice out the
+        # subtree they need (e.g. just params) and device_put on use.
+        # Explicit restore_type=np.ndarray matters: a bare restore() on a
+        # non-CPU backend tries to build jax.Arrays from the snapshot's
+        # saved shardings, and a snapshot written on a different platform
+        # (the CPU-built synth-pretrained init, a converted .pth) carries
+        # none -> "sharding ... Got None" (r5 frozen-BN run).
+        import numpy as np
+
+        ckptr = ocp.PyTreeCheckpointer()
+        meta_tree = ckptr.metadata(path).item_metadata.tree
+        full = ckptr.restore(
+            path,
+            restore_args=jax.tree.map(
+                lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta_tree
+            ),
+        )
         if template is not None:
             problems = []
             for key, sub in template.items():

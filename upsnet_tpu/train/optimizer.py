@@ -56,8 +56,14 @@ def _param_labels(params, frozen_stages: Sequence[int],
         if "offset_conv" in p:
             # DCN offset predictors: own group so train.dcn_offset_lr_mult
             # can damp them (from-scratch offset-runaway recipe, VERDICT
-            # r3 #1a). Bias included — 2x LR on a zero-init offset bias
-            # would amplify the exact runaway the multiplier damps.
+            # r3 #1a). The bias keeps the damped LR (NOT the Detectron 2x
+            # — that would amplify the exact runaway the multiplier damps)
+            # but, like every other bias, takes no weight decay (ADVICE
+            # r4: decaying the offset bias was a deviation from the
+            # reference bias rule with no restoring-force rationale —
+            # the zero-offset prior lives in the weights).
+            if p.endswith("/bias"):
+                return "offset_bias"
             return "offset"
         if freeze_norm and (
             "bn" in p.split("/")[-2:-1] or p.endswith("/scale")
@@ -96,9 +102,11 @@ def make_optimizer(cfg: Config, params) -> optax.GradientTransformation:
         {
             "weight": sgd(1.0, tc.wd),
             "bias": sgd(2.0, 0.0),
-            # offset convs keep weight decay (the restoring force toward
-            # zero-offset) at a configurable LR
+            # offset conv weights keep weight decay (the restoring force
+            # toward zero-offset) at a configurable LR; the offset bias
+            # follows the no-decay bias rule at the same damped LR
             "offset": sgd(tc.dcn_offset_lr_mult, tc.wd),
+            "offset_bias": sgd(tc.dcn_offset_lr_mult, 0.0),
             "frozen": optax.set_to_zero(),
         },
         labels,

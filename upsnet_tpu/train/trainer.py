@@ -146,8 +146,9 @@ def train(cfg: Config, dataset, logger=None, max_steps: int | None = None,
     dev0 = jax.devices()[0]
     platform = dev0.platform
     logger.info(
-        "devices: %d x %s (%s)", jax.device_count(), platform,
-        getattr(dev0, "device_kind", "?"),
+        "devices: %d x %s (%s); image_wire=%s",
+        jax.device_count(), platform,
+        getattr(dev0, "device_kind", "?"), cfg.train.image_wire,
     )
     loader_wait_s = 0.0
     step_s = 0.0
@@ -199,70 +200,89 @@ def train(cfg: Config, dataset, logger=None, max_steps: int | None = None,
     # pipeline the way the reference's CUDA streams never do.
     pending: list = []
     keys = iter(())
-    while True:
-        t_wait = time.time()
-        batch = next(loader_it, None)
-        loader_wait_s += time.time() - t_wait
-        if batch is None or it >= total_steps:
-            break
-        bucket_key = tuple(batch["images"].shape[1:3])
-        step_fn = steps_by_bucket[bucket_key]
-        sub = next(keys, None)
-        if sub is None:
-            key, *interval = jax.random.split(
-                key, cfg.train.display_iter + 1)
-            keys = iter(interval)
-            sub = next(keys)
-        params, opt_state, metrics = step_fn(params, opt_state, batch, sub)
-        pending.append(metrics)
-        it += 1
-        if it % cfg.train.display_iter == 0:
-            # one sync + transfer for the whole interval
-            for m in jax.device_get(pending):
-                for k, v in m.items():
-                    meters.setdefault(k, AverageMeter()).update(float(v))
-            pending.clear()
-            # the device_get above synchronized the whole interval, so
-            # wall - loader_wait is device step time (+ dispatch, ~ms)
-            step_s = (time.time() - t0) - loader_wait_s
-            rate = cfg.train.display_iter * batch["images"].shape[0] / (
-                time.time() - t0
-            )
-            msg = " ".join(f"{k}={m.avg:.4f}" for k, m in sorted(meters.items()))
-            logger.info(
-                "iter %d (%.2f img/s; step %.2fs loader-wait %.2fs): %s",
-                it, rate, step_s, loader_wait_s, msg,
-            )
-            entry = {k: m.avg for k, m in meters.items()} | {
-                "iter": it, "images_per_sec": rate,
-                "step_s": step_s, "loader_wait_s": loader_wait_s,
-                "platform": platform,
-            }
-            loader_wait_s = 0.0
-            step_s = 0.0
-            if watch_dcn:
-                from upsnet_tpu.data.wire import decode_batch
 
-                stats = stats_from_intermediates(
-                    offset_probe(
-                        params,
-                        decode_batch({"images": batch["images"]})["images"],
-                    )
+    def _flush_interval(nsteps, last_batch):
+        """Fetch the interval's device metrics (one sync), update meters,
+        log, run the DCN saturation watch, and append to history +
+        metrics.jsonl. Called every display_iter AND once for any tail
+        steps when the loop exits mid-interval (ADVICE r4: a divergence
+        in the final steps must not be invisible)."""
+        nonlocal loader_wait_s, step_s, t0
+        for m in jax.device_get(pending):
+            for k, v in m.items():
+                meters.setdefault(k, AverageMeter()).update(float(v))
+        pending.clear()
+        # the device_get above synchronized the whole interval, so
+        # wall - loader_wait is device step time (+ dispatch, ~ms)
+        step_s = (time.time() - t0) - loader_wait_s
+        rate = nsteps * last_batch["images"].shape[0] / (time.time() - t0)
+        msg = " ".join(f"{k}={m.avg:.4f}" for k, m in sorted(meters.items()))
+        logger.info(
+            "iter %d (%.2f img/s; step %.2fs loader-wait %.2fs): %s",
+            it, rate, step_s, loader_wait_s, msg,
+        )
+        entry = {k: m.avg for k, m in meters.items()} | {
+            "iter": it, "images_per_sec": rate,
+            "step_s": step_s, "loader_wait_s": loader_wait_s,
+            "platform": platform,
+        }
+        loader_wait_s = 0.0
+        step_s = 0.0
+        if watch_dcn:
+            from upsnet_tpu.data.wire import decode_batch
+
+            stats = stats_from_intermediates(
+                offset_probe(
+                    params,
+                    decode_batch(
+                        {"images": last_batch["images"]})["images"],
                 )
-                fields, warning = sat_watch.update(stats)
-                entry.update(fields)
-                if warning:
-                    logger.error(warning)
-            history.append(entry)
-            # structured metrics stream (tail -f / plotting friendly)
-            with open(os.path.join(ckpt_dir, "..", "metrics.jsonl"), "a") as f:
-                import json
+            )
+            fields, warning = sat_watch.update(stats)
+            entry.update(fields)
+            if warning:
+                logger.error(warning)
+        history.append(entry)
+        # structured metrics stream (tail -f / plotting friendly)
+        with open(os.path.join(ckpt_dir, "..", "metrics.jsonl"), "a") as f:
+            import json
 
-                f.write(json.dumps(entry) + "\n")
-            for m in meters.values():
-                m.reset()
-            t0 = time.time()
-        if it % cfg.train.snapshot_step == 0 or it == total_steps:
-            path = save_checkpoint(ckpt_dir, it, params, opt_state)
-            logger.info("saved snapshot %s", path)
+            f.write(json.dumps(entry) + "\n")
+        for m in meters.values():
+            m.reset()
+        t0 = time.time()
+
+    batch = None
+    try:
+        while True:
+            t_wait = time.time()
+            nxt = next(loader_it, None)
+            loader_wait_s += time.time() - t_wait
+            if nxt is None or it >= total_steps:
+                break
+            batch = nxt
+            bucket_key = tuple(batch["images"].shape[1:3])
+            step_fn = steps_by_bucket[bucket_key]
+            sub = next(keys, None)
+            if sub is None:
+                key, *interval = jax.random.split(
+                    key, cfg.train.display_iter + 1)
+                keys = iter(interval)
+                sub = next(keys)
+            params, opt_state, metrics = step_fn(
+                params, opt_state, batch, sub)
+            pending.append(metrics)
+            it += 1
+            if it % cfg.train.display_iter == 0:
+                _flush_interval(cfg.train.display_iter, batch)
+            if it % cfg.train.snapshot_step == 0 or it == total_steps:
+                path = save_checkpoint(ckpt_dir, it, params, opt_state)
+                logger.info("saved snapshot %s", path)
+    finally:
+        # tail steps of a run that ends mid-interval (loader exhausted,
+        # max_steps not a multiple of display_iter, or the sat-watch
+        # raising) still get metered, watched, and streamed
+        if pending and batch is not None:
+            _flush_interval(len(pending), batch)
+        loader_it.close()
     return params, history
