@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--no-mesh", action="store_true",
                     help="force single-device per-image eval (default "
                          "batches images over the device mesh)")
+    ap.add_argument("--dcn-impl", default=None,
+                    help="override network.dcn_impl for this eval (e.g. "
+                         "'pallas' to measure the train-time window-"
+                         "clipped path vs the exact 'auto' routing)")
     args = ap.parse_args()
 
     from upsnet_tpu.utils.platform import honor_env_platform
@@ -38,6 +42,11 @@ def main():
     from upsnet_tpu.utils.logging import create_logger
 
     cfg = load_config(args.cfg)
+    if args.dcn_impl:
+        import dataclasses
+
+        cfg = cfg.replace(network=dataclasses.replace(
+            cfg.network, dcn_impl=args.dcn_impl))
     out_dir = os.path.join(cfg.output_path, cfg.symbol)
     os.makedirs(out_dir, exist_ok=True)
     logger = create_logger(out_dir, cfg.symbol, "test")
