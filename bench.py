@@ -29,6 +29,10 @@ BASELINE_TRAIN_IMAGES_PER_SEC = 1.0  # reference ~1 img/s per GPU in training
 
 
 def main():
+    from upsnet_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()  # incl. persistent XLA compile cache on device runs
+
     import jax
     import jax.numpy as jnp
     import numpy as np
