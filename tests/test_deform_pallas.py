@@ -104,6 +104,79 @@ def test_pallas_backward_matches_autodiff(rng):
         )
 
 
+def test_padded_rows_route_matches_exact(rng, monkeypatch):
+    """h % 8 != 0 (the flagship P5 26x42 shape class) zero-pads the rows
+    to the block size and slices — must be exact vs the gather impl, fwd
+    and grad. Routing is pinned to the pallas path (on CPU pallas_route
+    would fall back to mxu and hide the padding branch)."""
+    monkeypatch.setattr(dcp, "pallas_route", lambda *a: ("untiled", None))
+    x = rng.randn(1, 26, 42, 16).astype(np.float32)
+    # |dy| < max_dy so the window clip never binds (the exact impl is
+    # unbounded; a clipped-vs-far sample difference is not what's under test)
+    offsets = np.clip(rng.randn(1, 26, 42, 18) * 1.5, -5.5, 5.5).astype(
+        np.float32)
+    weight = rng.randn(9, 16, 128).astype(np.float32) * 0.1
+    bias = rng.randn(128).astype(np.float32)
+    args = (jnp.asarray(x), jnp.asarray(offsets), jnp.asarray(weight),
+            jnp.asarray(bias))
+    exact = deform_conv2d_batched(*args)
+    got = dcp.deform_conv2d_pallas.__wrapped__(*args, 3, 1, 6, "clip")
+    assert got.shape == exact.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exact), atol=2e-3)
+
+    def loss_exact(x, o, w_):
+        return jnp.sum(deform_conv2d_batched(x, o, w_) ** 2)
+
+    def loss_pl(x, o, w_):
+        return jnp.sum(
+            dcp.deform_conv2d_pallas.__wrapped__(
+                x, o, w_, None, 3, 1, 6, "clip") ** 2)
+
+    g_ref = jax.grad(loss_exact, argnums=(0, 1, 2))(*args[:3])
+    g_pl = jax.grad(loss_pl, argnums=(0, 1, 2))(*args[:3])
+    for a, b, name in zip(g_pl, g_ref, ("x", "offsets", "weight")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-3,
+            err_msg=f"grad wrt {name}",
+        )
+
+
+def test_fused9_matches_pertap_and_exact(rng):
+    """The all-taps-fused inference forward (_fused_untiled, one pallas
+    call) == the per-tap training form == the exact gather impl; and
+    differentiating the public dispatch routes to the per-tap VJP (grads
+    == exact autodiff)."""
+    x = rng.randn(2, 16, 20, 16).astype(np.float32)
+    offsets = np.clip(rng.randn(2, 16, 20, 18) * 1.5, -5.5, 5.5).astype(
+        np.float32)
+    weight = rng.randn(9, 16, 128).astype(np.float32) * 0.1
+    bias = rng.randn(128).astype(np.float32)
+    args = (jnp.asarray(x), jnp.asarray(offsets), jnp.asarray(weight),
+            jnp.asarray(bias))
+    fused = dcp._fused_untiled(*args, 3, 1, 6, "clip")
+    pertap = dcp._pertap_untiled(*args, 3, 1, 6, "clip")
+    exact = deform_conv2d_batched(*args)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(pertap),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(exact),
+                               atol=2e-3)
+
+    def loss_disp(x, o, w_):
+        return jnp.sum(dcp._untiled_dispatch(3, 1, 6, "clip", x, o, w_,
+                                             None) ** 2)
+
+    def loss_exact(x, o, w_):
+        return jnp.sum(deform_conv2d_batched(x, o, w_) ** 2)
+
+    g_d = jax.grad(loss_disp, argnums=(0, 1, 2))(*args[:3])
+    g_ref = jax.grad(loss_exact, argnums=(0, 1, 2))(*args[:3])
+    for a, b, name in zip(g_d, g_ref, ("x", "offsets", "weight")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-3,
+            err_msg=f"grad wrt {name}",
+        )
+
+
 def test_tiled_sample_matches_ref(rng):
     b, h, w, c = 1, 8, 512, 128  # wide: 2 column tiles
     r, dx = 3, 3

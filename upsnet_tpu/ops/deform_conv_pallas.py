@@ -189,6 +189,145 @@ def _sample_pallas(y_pad, sy, sx, max_dy: int):
     )(sy, syt, sx, y_pad)
 
 
+def _pick_rb(h: int, w: int, wp: int, c: int, r: int, itemsize: int) -> int:
+    """Rows per program: fixed per-program overhead (~16us: DMA issue +
+    scaffolding) dominates, so take the largest candidate that divides h
+    AND fits the 48MB VMEM check (h=208 flagship: 104; small test shapes
+    keep the RB=8 default)."""
+    rb = RB
+    for cand in (104, 16):  # must be %8 (sublane block rule) and divide h
+        if h % cand == 0 and h > cand:
+            win_b = (cand + 2 * r + 2) * wp * c * itemsize
+            out_b = cand * w * c * itemsize
+            if win_b + 3 * out_b < 48 * 1024 * 1024:
+                rb = cand
+                break
+    return rb
+
+
+def _sample9_kernel(sy_ref, syt_ref, sx_ref, y_hbm, out_ref, win, sem, *,
+                    h: int, w: int, wp: int, c: int, r: int, rb: int):
+    """All-taps fused variant of ``_sample_kernel``: one (batch, row-block,
+    tap) program per grid step, taps innermost. The output block's index
+    map ignores the tap dim, so Pallas keeps it resident in VMEM across
+    the 9 tap steps and writes HBM once — replacing 9 separate pallas
+    calls + 8 XLA accumulation ops, which measured ~2.9 ms per call of
+    pure scheduling overhead against ~0.5 ms of actual kernel time
+    (tools/bench_deform_incontext.py). Per-tap math is identical to
+    ``_sample_kernel`` including the bf16 tap-sequential accumulation
+    order, so results match the chained form."""
+    b_idx = pl.program_id(0)
+    rb_idx = pl.program_id(1)
+    t_idx = pl.program_id(2)
+    i0 = rb_idx * rb
+    win_rows = rb + 2 * r + 2
+    a_n = 2 * r + 3
+
+    dma = pltpu.make_async_copy(
+        y_hbm.at[t_idx, b_idx, pl.ds(i0 + 1, win_rows)], win, sem
+    )
+    dma.start()
+    cols_t = (
+        jax.lax.broadcasted_iota(jnp.int32, (wp, w), 0).astype(jnp.float32)
+        - 1.0
+    )
+    first = t_idx == 0
+    dma.wait()
+
+    for li in range(rb):
+        sy_r = sy_ref[0, 0, 0, li:li + 1, :]  # (1, w)
+        sx_r = sx_ref[0, 0, 0, li:li + 1, :]
+        sy_col = syt_ref[0, 0, 0, :, li:li + 1]  # (w, 1)
+        inside = (
+            (sy_r > -1.0) & (sy_r < float(h))
+            & (sx_r > -1.0) & (sx_r < float(w))
+        )
+        hx = jnp.maximum(1.0 - jnp.abs(sx_r - cols_t), 0.0)
+        hx = jnp.where(inside, hx, 0.0).astype(win.dtype)
+        i_glob = jnp.float32(i0 * 1.0) + li
+        base = i_glob - (r + 1.0)
+        a_lo = jnp.maximum(
+            jnp.floor(jnp.min(sy_r) - base).astype(jnp.int32), 0
+        )
+        a_hi = jnp.minimum(
+            jnp.ceil(jnp.max(sy_r) - base).astype(jnp.int32), a_n - 1
+        )
+
+        def body(a, acc_v):
+            part = jax.lax.dot_general(
+                hx, win[pl.dslice(li + a, 1)][0],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            vy = jnp.maximum(
+                1.0 - jnp.abs(sy_col - (base + a.astype(jnp.float32))), 0.0
+            )
+            return acc_v + vy * part
+
+        acc = jax.lax.fori_loop(
+            a_lo, a_hi + 1, body, jnp.zeros((w, c), jnp.float32)
+        )
+        val = acc.astype(out_ref.dtype)
+
+        @pl.when(first)
+        def _():
+            out_ref[0, li] = val
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            out_ref[0, li] = out_ref[0, li] + val
+
+
+@functools.partial(jax.jit, static_argnames=("max_dy",))
+def _sample_pallas9(y_pad9, sy9, sx9, max_dy: int):
+    """Fused 9-tap sampling: y_pad9 (9, B, Hpad, Wp, C) tap-major padded
+    projections; sy9, sx9 (9, B, H, W) f32 per-tap sample coords. Returns
+    the tap-SUM (B, H, W, C) in y dtype (bf16 adds in tap order — the
+    same accumulation the chained per-tap form produces)."""
+    t_n, b, hpad, wp, c = y_pad9.shape
+    _, _, h, w = sy9.shape
+    assert t_n == 9
+    r = max_dy
+    rb = _pick_rb(h, w, wp, c, r, y_pad9.dtype.itemsize)
+    n_blocks = h // rb
+    win_rows = rb + 2 * r + 2
+
+    syt9 = sy9.reshape(t_n, b, n_blocks, rb, w).swapaxes(3, 4)
+    sy9b = sy9.reshape(t_n, b, n_blocks, rb, w)
+    sx9b = sx9.reshape(t_n, b, n_blocks, rb, w)
+
+    kernel = functools.partial(
+        _sample9_kernel, h=h, w=w, wp=wp, c=c, r=r, rb=rb
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_blocks, t_n),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, rb, w),
+                         lambda bi, ri, ti: (ti, bi, ri, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, w, rb),
+                         lambda bi, ri, ti: (ti, bi, ri, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, rb, w),
+                         lambda bi, ri, ti: (ti, bi, ri, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # y_pad9 stays in HBM
+        ],
+        out_specs=pl.BlockSpec((1, rb, w, c),
+                               lambda bi, ri, ti: (bi, ri, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), y_pad9.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((win_rows, wp, c), y_pad9.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(sy9b, syt9, sx9b, y_pad9)
+
+
 CT = 256  # default output columns per program in the column-tiled kernel
 CTW = 384  # its source-column window (CT + 2*max_dx + 4, rounded to 128)
 
@@ -633,8 +772,14 @@ def pallas_route(shape, cout: int, max_dy: int, dilation: int):
     # weights through the VPU, and the per-tap variant already sits at
     # that floor with the smallest constant. Keep "mt" available via
     # deform_conv2d_pallas_mt (tested, exact) but do not route to it.
-    if not on_tpu or h % RB != 0 or cout % 128 != 0:
+    if not on_tpu or cout % 128 != 0:
         return "mxu", None
+    # h need not be a multiple of RB: deform_conv2d_pallas zero-pads the
+    # rows up to the block size and slices the result — exact, because the
+    # padded rows project to zero and the hat sample of an all-zero row
+    # contributes zero (the same zeros the shorter map's boundary padding
+    # held). This keeps the small FPN levels (P4 52x84, P5 26x42 at the
+    # flagship bucket) on the fast kernel instead of the dense mxu path.
     max_dx = max_dy  # same clip both axes; the tiled ctw is sized to fit
     tile = _col_tile(w, max_dx, dilation)
     # VMEM budget for the untiled kernel: halo window + per-row hat matrix
@@ -673,14 +818,26 @@ def deform_conv2d_pallas(
     """Deformable conv: project-first + Pallas hat-matmul sampling.
 
     Same interface/semantics as ops.deform_conv.deform_conv2d_mxu (exact
-    for |dy| <= max_dy). Requires H % 8 == 0 (true for all /4-scale bucket
-    shapes); falls back to the mxu path otherwise.
+    for |dy| <= max_dy). Any H is accepted: rows are zero-padded to the
+    8-row block size and sliced after (exact — see pallas_route).
     """
     from upsnet_tpu.ops.deform_conv import clip_offsets, deform_conv2d_mxu
 
     b, h, w, cin = x.shape
     cout_ = weight.shape[-1]
     route, max_dx = pallas_route(x.shape, cout_, max_dy, dilation)
+    if route in ("untiled", "tiled") and h % RB != 0:
+        # zero-pad rows to the block size and slice after — exact (padded
+        # rows project to zero; the hat sample of a zero row contributes
+        # the same zero the boundary padding held). See pallas_route.
+        h8 = _round_up(h, RB)
+        x = jnp.pad(x, ((0, 0), (0, h8 - h), (0, 0), (0, 0)))
+        offsets = jnp.pad(offsets, ((0, 0), (0, h8 - h), (0, 0), (0, 0)))
+        out = deform_conv2d_pallas(
+            x, offsets, weight, bias, kernel_size, dilation, max_dy,
+            boundary_grad,
+        )
+        return out[:, :h]
     if route == "mt":
         return deform_conv2d_pallas_mt(
             x, offsets, weight, bias, kernel_size, dilation, max_dy
@@ -696,6 +853,21 @@ def deform_conv2d_pallas(
             x, offsets, weight, bias, kernel_size, dilation, max_dy,
             boundary_grad,
         )
+    return _untiled_dispatch(
+        kernel_size, dilation, max_dy, boundary_grad, x, offsets, weight,
+        bias,
+    )
+
+
+def _pertap_untiled(x, offsets, weight, bias, kernel_size, dilation, max_dy,
+                    boundary_grad):
+    """Per-tap untiled path: 9 pads + 9 ``deform_sample`` kernels + chained
+    accumulation. This is the TRAINING form — every piece (the sample
+    kernels' custom VJPs, the RMW-canvas backward, the save_dcn remat
+    interaction) is the round-3/4 tuned path."""
+    from upsnet_tpu.ops.deform_conv import clip_offsets
+
+    b, h, w, cin = x.shape
     k = kernel_size * kernel_size
     cout = weight.shape[-1]
     half = (kernel_size - 1) // 2
@@ -730,6 +902,95 @@ def deform_conv2d_pallas(
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
+
+
+def _fused_untiled(x, offsets, weight, bias, kernel_size, dilation, max_dy,
+                   boundary_grad):
+    """All-taps-fused untiled forward: one ``_sample_pallas9`` call
+    replaces the 9 chained sample kernels + 8 XLA accumulations (measured
+    ~2.9 ms/call of scheduling overhead vs ~0.5 ms kernel time —
+    tools/bench_deform_incontext.py). Same per-tap math and bf16 tap
+    accumulation order as ``_pertap_untiled``."""
+    from upsnet_tpu.ops.deform_conv import clip_offsets
+
+    b, h, w, cin = x.shape
+    k = kernel_size * kernel_size
+    assert k == 9, k
+    cout = weight.shape[-1]
+    half = (kernel_size - 1) // 2
+    wp = _round_up(w + 2, 128)
+    r_eff = max_dy + dilation
+    pad_rows = r_eff + 2
+
+    x2 = x.reshape(-1, cin)
+    # 9 separate matmuls whose outputs XLA writes straight into the
+    # tap-major stack (no (B,H,W,9,C) -> (9,B,H,W,C) transpose op)
+    y9 = jnp.stack(
+        [
+            jnp.dot(x2, weight[t].astype(x.dtype),
+                    preferred_element_type=x.dtype)
+            for t in range(k)
+        ],
+        axis=0,
+    ).reshape(k, b, h, w, cout)
+    y_pad9 = jnp.pad(
+        y9,
+        ((0, 0), (0, 0), (pad_rows, pad_rows), (1, wp - w - 1), (0, 0)),
+    )
+
+    off_y = clip_offsets(
+        jnp.moveaxis(offsets[..., 0::2], 3, 0).astype(jnp.float32),
+        float(max_dy), boundary_grad,
+    )  # (9, b, h, w)
+    off_x = jnp.moveaxis(offsets[..., 1::2], 3, 0).astype(jnp.float32)
+    iy = jnp.arange(h, dtype=jnp.float32)[None, None, :, None]
+    ix = jnp.arange(w, dtype=jnp.float32)[None, None, None, :]
+    ky = jnp.asarray(
+        [(t // kernel_size - half) * dilation for t in range(k)],
+        jnp.float32,
+    )[:, None, None, None]
+    kx = jnp.asarray(
+        [(t % kernel_size - half) * dilation for t in range(k)],
+        jnp.float32,
+    )[:, None, None, None]
+    sy9 = iy + ky + off_y
+    sx9 = ix + kx + off_x
+    out = _sample_pallas9(y_pad9, sy9, sx9, r_eff)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _untiled_dispatch(kernel_size, dilation, max_dy, boundary_grad, x,
+                      offsets, weight, bias):
+    """Primal (inference): the fused all-taps kernel. Differentiated
+    (training): the custom_vjp fwd rule below swaps in the per-tap path,
+    so the tuned RMW-canvas backward kernels and save_dcn remat behavior
+    are exactly what they were — the fused kernel never runs under grad."""
+    return _fused_untiled(
+        x, offsets, weight, bias, kernel_size, dilation, max_dy,
+        boundary_grad,
+    )
+
+
+def _untiled_dispatch_fwd(kernel_size, dilation, max_dy, boundary_grad, x,
+                          offsets, weight, bias):
+    out, vjp = jax.vjp(
+        lambda x_, o_, w_, b_: _pertap_untiled(
+            x_, o_, w_, b_, kernel_size, dilation, max_dy, boundary_grad
+        ),
+        x, offsets, weight, bias,
+    )
+    return out, vjp
+
+
+def _untiled_dispatch_bwd(kernel_size, dilation, max_dy, boundary_grad, vjp,
+                          g):
+    return vjp(g)
+
+
+_untiled_dispatch.defvjp(_untiled_dispatch_fwd, _untiled_dispatch_bwd)
 
 
 def _deform_conv2d_pallas_tiled(x, offsets, weight, bias, kernel_size,
